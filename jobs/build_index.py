@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the inverted index from a webtext table.
+
+Usage:
+  spark-submit --py-files engine.zip jobs/build_index.py \
+      --source /path/to/webtext_parquet --index-dir /path/to/index \
+      [--synthetic N] [--docs-per-segment 8192] [--term-buckets 16]
+
+``--synthetic N`` generates the deterministic webtext fixture in-flight
+(no external data) — used for tests/bench in this sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+from aether_elasticsearch_consumer_spark.session import get_spark
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", help="parquet/iceberg path of webtext table")
+    ap.add_argument("--synthetic", type=int, help="generate N synthetic docs")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--docs-per-segment", type=int, default=8192)
+    ap.add_argument("--term-buckets", type=int, default=16)
+    ap.add_argument("--profile", default="ascii", choices=["ascii", "unicode"])
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args(argv)
+    if not args.source and not args.synthetic:
+        ap.error("need --source or --synthetic")
+
+    spark = get_spark("build_index", cores=args.cores)
+    if args.synthetic:
+        src = webtext_df(spark, args.synthetic)
+        fp = {"synthetic": args.synthetic}
+    else:
+        src = spark.read.parquet(args.source)
+        fp = {"source": args.source}
+
+    t0 = time.time()
+    builder = IndexBuilder(
+        spark,
+        args.index_dir,
+        profile=args.profile,
+        docs_per_segment=args.docs_per_segment,
+        term_buckets=args.term_buckets,
+    )
+    manifests = builder.build(src, fingerprint_extra=fp, force=args.force)
+    elapsed = time.time() - t0
+    n = manifests["stats"].get("N")
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index_dir,
+                "docs": n,
+                "elapsed_sec": round(elapsed, 2),
+                "docs_per_sec": round(n / elapsed, 1) if n else None,
+                "stages": {k: v.get("elapsed_sec") for k, v in manifests.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""spark-submit entry point: BM25 top-k search against a built index.
+
+Usage:
+  spark-submit --py-files engine.zip jobs/search.py \
+      --index-dir /path/to/index --query "terms here" [--k 10] [--urls]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+from aether_elasticsearch_consumer_spark.session import get_spark
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--urls", action="store_true", help="join doc urls")
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("search", cores=args.cores)
+    reader = IndexReader(spark, args.index_dir)
+    t0 = time.time()
+    hits = reader.search(args.query, k=args.k)
+    if args.urls:
+        docs = spark.read.parquet(f"{args.index_dir}/docs/data").select(
+            "doc_id", "url"
+        )
+        hits = hits.join(docs, "doc_id").orderBy("score", ascending=False)
+    rows = hits.collect()
+    elapsed = time.time() - t0
+    out = {
+        "query": args.query,
+        "k": args.k,
+        "latency_sec": round(elapsed, 3),
+        "hits": [r.asDict() for r in rows],
+        "max_score": rows[0]["score"] if rows else None,
+    }
+    print(json.dumps(out, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

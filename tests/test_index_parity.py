@@ -1,0 +1,133 @@
+"""Oracle parity — the correctness bar from BASELINE.json north_rule:
+top-k docIDs and BM25 scores rank-identical to the single-node oracle on
+the reference query set (mirrors the reference's ES max_score integration
+assertions, /root/reference/consumer/tests/test__index_handler.py:143-196).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aether_elasticsearch_consumer_spark.fixtures.webtext import (
+    queries_set,
+    webtext_df,
+)
+from aether_elasticsearch_consumer_spark.functions.html import extract_text_py
+from aether_elasticsearch_consumer_spark.operators.topk import (
+    IndexReader,
+    naive_bm25_topk,
+)
+from aether_elasticsearch_consumer_spark.oracle.engine import (
+    build_oracle_index,
+    score_query,
+)
+from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+
+N_DOCS = 1000
+N_QUERIES = 25
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    src = webtext_df(spark, N_DOCS, partitions=8)
+    IndexBuilder(spark, d, docs_per_segment=256, term_buckets=8).build(
+        src, fingerprint_extra={"n": N_DOCS}
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark, index_dir):
+    return (
+        spark.read.parquet(f"{index_dir}/docs/data")
+        .select("doc_id", "url", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(docs_pd):
+    return build_oracle_index(
+        list(zip(docs_pd["doc_id"], docs_pd["text"])), profile="ascii"
+    )
+
+
+def test_extraction_byte_identical(spark):
+    """input_hint invariant: byte-identical extracted text per url."""
+    pdf = webtext_df(spark, 200, partitions=4).toPandas()
+    for _, row in pdf.iterrows():
+        assert extract_text_py(row["html"]) == row["text"], row["url"]
+
+
+def test_doc_ids_dense_and_deterministic(spark, index_dir, docs_pd):
+    ids = docs_pd["doc_id"].to_numpy()
+    assert ids.min() == 0 and ids.max() == N_DOCS - 1
+    assert len(set(ids)) == N_DOCS
+    # re-assign at a different parallelism level → identical mapping
+    from aether_elasticsearch_consumer_spark.plans.index_build import build_docs_df
+
+    again = (
+        build_docs_df(webtext_df(spark, N_DOCS, partitions=3))
+        .select("url", "doc_id")
+        .toPandas()
+    )
+    merged = docs_pd.merge(again, on="url", suffixes=("", "_again"))
+    assert (merged["doc_id"] == merged["doc_id_again"]).all()
+
+
+def test_stats_match_oracle(spark, index_dir, oracle):
+    st = spark.read.parquet(f"{index_dir}/stats/data").collect()[0]
+    assert st["N"] == oracle.N
+    assert st["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_term_stats_match_oracle(spark, index_dir, oracle):
+    got = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{index_dir}/term_stats/data").collect()
+    }
+    want = {t: len(p[0]) for t, p in oracle.postings.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("qi", range(N_QUERIES))
+def test_topk_rank_identical(spark, index_dir, oracle, qi):
+    q = queries_set()[qi]
+    reader = IndexReader(spark, index_dir)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in reader.search(q["query"], k=q["k"]).collect()
+    ]
+    want = [(d, round(s, 9)) for d, s in score_query(oracle, q["query"], k=q["k"])]
+    assert [g[0] for g in got] == [w[0] for w in want], q
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (q, gd)
+
+
+def test_naive_scorer_matches_oracle(spark, index_dir, oracle):
+    docs = spark.read.parquet(f"{index_dir}/docs/data")
+    q = queries_set()[0]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in naive_bm25_topk(docs, q["query"], k=10).collect()
+    ]
+    want = score_query(oracle, q["query"], k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_empty_and_absent_queries(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    assert reader.search("", k=10).count() == 0
+    assert reader.search("zzabsentnowhere42", k=10).count() == 0
+
+
+def test_resume_skips_completed_stages(spark, index_dir):
+    """Re-running the build with the same fingerprint is a no-op (hash-gated
+    resume, reference idiom index_handler.py:341-343)."""
+    src = webtext_df(spark, N_DOCS, partitions=8)
+    b = IndexBuilder(spark, index_dir, docs_per_segment=256, term_buckets=8)
+    manifests = b.build(src, fingerprint_extra={"n": N_DOCS})
+    # elapsed recorded at first build; identical manifest returned on resume
+    assert all("fingerprint" in m for m in manifests.values())
