@@ -1,0 +1,129 @@
+"""Bucket/metric aggregations (A1-A5) — the Kibana visState specs the
+reference declares (/root/reference/consumer/app/visualization.py) and
+Elasticsearch executes, as Catalyst aggregation plans.
+
+Every function returns a DataFrame plan (lazy); all are two-phase
+(map-side partial + final) hash aggregations under AQE — the shapes that
+survive a 100× scale-up. ``terms_agg`` reproduces ES semantics including
+``missing`` bucket, ``other`` bucket, and both orderings (by metric desc /
+by key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import geohash
+
+MISSING_LABEL = "__missing__"
+OTHER_LABEL = "__other__"
+
+
+def count_metric(df: DataFrame) -> DataFrame:
+    """A1 (visualization.py:123-128)."""
+    return df.agg(F.count("*").alias("cnt"))
+
+
+def terms_agg(
+    df: DataFrame,
+    field: str,
+    size: int = 10,
+    order_by: str = "_count",   # '_count' | '_key'  (visualization.py:292-309)
+    ascending: bool = False,
+    missing_bucket: bool = False,
+    other_bucket: bool = False,
+) -> DataFrame:
+    """A2 `terms` bucket: top-N values by count (or key order), with
+    optional ES otherBucket/missingBucket (visualization.py:238-254)."""
+    key = (
+        F.coalesce(F.col(field).cast("string"), F.lit(MISSING_LABEL))
+        if missing_bucket
+        else F.col(field).cast("string")
+    )
+    based = df.select(key.alias("key"))
+    if not missing_bucket:
+        based = based.where(F.col("key").isNotNull())
+    counts = based.groupBy("key").agg(F.count("*").alias("cnt"))
+    if order_by == "_key":
+        ordered = counts.orderBy(F.asc("key") if ascending else F.desc("key"))
+    else:
+        ordered = counts.orderBy(
+            F.asc("cnt") if ascending else F.desc("cnt"), F.asc("key")
+        )
+    top = ordered.limit(size)
+    if not other_bucket:
+        return top
+    total = counts.agg(F.sum("cnt").alias("t"))
+    top_sum = top.agg(F.sum("cnt").alias("s"))
+    other = (
+        total.crossJoin(top_sum)
+        .select(
+            F.lit(OTHER_LABEL).alias("key"),
+            (F.col("t") - F.coalesce(F.col("s"), F.lit(0))).alias("cnt"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    return top.unionByName(other)
+
+
+def histogram_agg(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    extended_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """A3 `histogram` bucket (visualization.py:185-197, interval 10/5;
+    extended_bounds emits empty buckets across the requested range)."""
+    bucket = (F.floor(F.col(field) / interval) * interval).cast("double")
+    counts = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    if extended_bounds is None:
+        return counts.orderBy("bucket")
+    lo, hi = extended_bounds
+    spark = df.sparkSession
+    lo_b = float(lo // interval * interval)
+    grid = spark.range(int((hi - lo_b) / interval) + 1).select(
+        (F.lit(lo_b) + F.col("id") * interval).cast("double").alias("bucket")
+    )
+    return (
+        grid.join(counts, "bucket", "left")
+        .select("bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def date_histogram_agg(df: DataFrame, field: str, interval: str = "day") -> DataFrame:
+    """Kibana date_histogram (timeFieldName-driven dashboards §F10)."""
+    return (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.date_trunc(interval, F.col(field)).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def geohash_grid_agg(
+    df: DataFrame, lat: str, lon: str, precision: int = 2
+) -> DataFrame:
+    """A4 `geohash_grid` + geocentroid (visualization.py:130-148):
+    bucket by geohash cell, count + centroid per cell."""
+    cell = geohash(lat, lon, precision)
+    return (
+        df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .groupBy(cell.alias("cell"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.avg(lat).alias("centroid_lat"),
+            F.avg(lon).alias("centroid_lon"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("cell"))
+    )
+
+
+def doc_count_parity(src: DataFrame, dst: DataFrame) -> bool:
+    """A5 migration verification barrier (index_handler.py:179-218)."""
+    return src.count() == dst.count()

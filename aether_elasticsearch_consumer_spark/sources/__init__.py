@@ -1,0 +1,1 @@
+"""Table sources/sinks (SURVEY.md §2.1)."""

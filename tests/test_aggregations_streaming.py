@@ -1,0 +1,121 @@
+"""Aggregation library (A1-A4) + incremental ingest stream tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aether_elasticsearch_consumer_spark.functions.geo import geohash_np
+from aether_elasticsearch_consumer_spark.operators.aggregations import (
+    MISSING_LABEL,
+    OTHER_LABEL,
+    count_metric,
+    date_histogram_agg,
+    geohash_grid_agg,
+    histogram_agg,
+    terms_agg,
+)
+from aether_elasticsearch_consumer_spark.operators.ingest import IngestPipeline
+from aether_elasticsearch_consumer_spark.sources.catalog import Catalog
+from aether_elasticsearch_consumer_spark.streaming.ingest_stream import stream_ingest
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf001_dir):
+    return spark.read.parquet(f"{sf001_dir}/events.parquet")
+
+
+def test_count_metric(events):
+    assert count_metric(events).collect()[0]["cnt"] == events.count()
+
+
+def test_terms_agg_by_count_and_key(events):
+    by_count = terms_agg(events, "event_type", size=3).collect()
+    assert len(by_count) == 3
+    assert by_count[0]["cnt"] >= by_count[1]["cnt"] >= by_count[2]["cnt"]
+    by_key = terms_agg(events, "event_type", size=2, order_by="_key", ascending=True).collect()
+    assert [r["key"] for r in by_key] == sorted(r["key"] for r in by_key)
+
+
+def test_terms_agg_missing_and_other(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), ("c",)], "k string"
+    )
+    got = {r["key"]: r["cnt"] for r in
+           terms_agg(df, "k", size=1, missing_bucket=True, other_bucket=True).collect()}
+    assert got["a"] == 2
+    assert got[OTHER_LABEL] == 3  # b + c + missing
+    got2 = {r["key"]: r["cnt"] for r in
+            terms_agg(df, "k", size=10, missing_bucket=True).collect()}
+    assert got2[MISSING_LABEL] == 1
+
+
+def test_histogram_with_extended_bounds(spark):
+    df = spark.createDataFrame([(1.0,), (7.0,), (12.0,)], "v double")
+    got = histogram_agg(df, "v", 5, extended_bounds=(0, 20)).collect()
+    assert [r["bucket"] for r in got] == [0.0, 5.0, 10.0, 15.0, 20.0]
+    assert [r["cnt"] for r in got] == [1, 1, 1, 0, 0]
+
+
+def test_date_histogram(events):
+    got = date_histogram_agg(events, "ts", "day").collect()
+    assert sum(r["cnt"] for r in got) == events.count()
+    assert len(got) >= 1
+
+
+def test_geohash_known_values():
+    """Golden: geohash of (57.64911, 10.40744) is 'u4pruydqqvj'."""
+    import numpy as np
+
+    got = geohash_np(np.array([57.64911]), np.array([10.40744]), 11)
+    assert got[0] == "u4pruydqqvj"
+    assert geohash_np(np.array([0.0]), np.array([0.0]), 2)[0] == "s0"
+
+
+def test_geohash_grid_agg(spark):
+    df = spark.createDataFrame(
+        [(57.6, 10.4), (57.7, 10.5), (-33.9, 18.4), (None, 5.0)],
+        "lat double, lon double",
+    )
+    got = geohash_grid_agg(df, "lat", "lon", precision=2).collect()
+    by_cell = {r["cell"]: r for r in got}
+    assert by_cell["u4"]["cnt"] == 2
+    assert by_cell["u4"]["centroid_lat"] == pytest.approx(57.65)
+    assert len(got) == 2  # null row excluded
+
+
+def test_stream_ingest_incremental(spark, tmp_path):
+    """S1 incremental consumption + S4 idempotent merge via Structured
+    Streaming file source with exactly-once checkpointing."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    in_dir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+    catalog = Catalog(spark, tmp_path / "cat")
+    table = catalog.table("stream_target")
+    pipe = IngestPipeline(
+        schema={"name": "s", "type": "record", "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "status", "type": ["null", "string"]},
+        ]},
+        topic_options={
+            "filter_required": True,
+            "filter_field_path": "status",
+            "filter_pass_values": ["ok"],
+        },
+    )
+    spark.createDataFrame([("a", "ok"), ("b", "bad")], schema).write.parquet(
+        in_dir + "/batch1"
+    )
+    stream_ingest(spark, in_dir + "/*", schema, pipe, table, "id", cp)
+    assert {r["id"] for r in table.read().collect()} == {"a"}
+    # second micro-batch arrives → only new files processed, merge upserts
+    spark.createDataFrame([("a", "ok"), ("c", "ok")], schema).write.parquet(
+        in_dir + "/batch2"
+    )
+    stream_ingest(spark, in_dir + "/*", schema, pipe, table, "id", cp)
+    assert {r["id"] for r in table.read().collect()} == {"a", "c"}
