@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k. Arrow ``mapInPandas`` with a
+  numpy matmul per batch (BLAS), partial top-k per partition, driver merge
+  via orderBy.limit — the correctness baseline, O(N·d) scan fully
+  distributed.
+- ``lsh_topk`` — random-hyperplane LSH: seeded plane matrix broadcast with
+  the closure, per-row signature via the same Arrow UDF path, candidates =
+  rows whose signature hamming-matches the query within ``max_hamming``
+  (multi-probe), exact re-rank of candidates only. The 100-TB path: the
+  scan prunes to a signature-bucket subset; signatures can be precomputed
+  and stored as a column.
+- ``ivf_topk`` — inverted-file variant: deterministic sampled centroids,
+  rows assigned to nearest centroid (precomputable); query probes the
+  ``nprobe`` nearest centroid lists only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ]
+)
+
+
+def _cosine_batch(ids, mat, q):
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, (mat @ qn) / norms
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float] | np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: per-partition numpy matmul + bounded top-k,
+    global merge via orderBy(cosine desc, id asc).limit(k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_ids: list[np.ndarray] = []
+        best_sc: list[np.ndarray] = []
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            _, cos = _cosine_batch(ids, mat, q)
+            if len(ids) > k:
+                top = np.argpartition(-cos, k - 1)[:k]
+                ids, cos = ids[top], cos[top]
+            best_ids.append(ids)
+            best_sc.append(cos)
+        if not best_ids:
+            return
+        ids = np.concatenate(best_ids)
+        cos = np.round(np.concatenate(best_sc), 6)
+        if len(ids) > k:
+            top = np.argpartition(-cos, k - 1)[:k]
+            ids, cos = ids[top], cos[top]
+        yield pd.DataFrame({"vec_id": ids, "cosine": cos})
+
+    per_part = df.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
+    return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_bits(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) × (p, d) → packed int64 signatures (p ≤ 63)."""
+    bits = (mat @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights).sum(axis=1)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float] | np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-signature pruning + exact re-rank of
+    the surviving candidates (multi-probe by hamming radius)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    planes = _planes(dim, n_planes, seed)
+    q_sig = int(signature_bits(q[None, :], planes)[0])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sigs = signature_bits(mat, planes)
+            xor = np.bitwise_xor(sigs, q_sig).astype(np.uint64)
+            ham = np.zeros(len(ids), dtype=np.int64)
+            for b in range(n_planes):
+                ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            _, cos = _cosine_batch(ids[keep], mat[keep], q)
+            yield pd.DataFrame(
+                {"vec_id": ids[keep], "cosine": np.round(cos, 6)}
+            )
+
+    per_part = df.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
+    return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float] | np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF: centroids = deterministic sample (every Nth vector by id),
+    probe the ``nprobe`` centroids nearest the query, exact-score only
+    rows assigned to those lists. At scale the assignment is a stored
+    column and the probe is a partition-pruned read."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids * 50)
+        .toPandas()
+    )
+    step = max(1, len(sample) // n_centroids)
+    cent = np.stack(sample[vec_col].to_numpy()[::step][:n_centroids]).astype(
+        np.float64
+    )
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    probe = set(
+        np.argsort(-(cent_n @ (q / np.linalg.norm(q))))[:nprobe].tolist()
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            assign = np.argmax(mat_n @ cent_n.T, axis=1)
+            keep = np.isin(assign, list(probe))
+            if not keep.any():
+                continue
+            _, cos = _cosine_batch(ids[keep], mat[keep], q)
+            yield pd.DataFrame(
+                {"vec_id": ids[keep], "cosine": np.round(cos, 6)}
+            )
+
+    per_part = df.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
+    return per_part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -270,3 +270,284 @@ def ingest_lookup_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup, text analysis, similarity (SURVEY.md extras)
+# --------------------------------------------------------------------------
+
+from .operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from .operators.similarity import brute_force_topk, lsh_topk  # noqa: E402
+from .operators.textstats import (  # noqa: E402
+    LANG_STOPWORDS,
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .operators.aggregations import terms_agg, date_histogram_agg, geohash_grid_agg  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+    GROUP BY md5(text) ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one survivor (min doc_id) per md5(text)."""
+    return (
+        exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.01
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs blocked by (lang, source)."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", ["lang", "source"],
+        n=3, threshold=0.01, hashed=False,
+    ).withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
+
+
+@register("dedup_minhash_lsh")  # rows-only: hashing not SQL-reproducible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (verified Jaccard ≥ 0.5);
+    pytest proves parity vs exact Jaccard (tests/test_dedup_similarity.py)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n_hashes=64, bands=16, jaccard_threshold=0.5,
+    )
+
+
+@register("dedup_simhash")  # rows-only: crc-based fingerprint not in SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join."""
+    return simhash_neardup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id, len({_TOKS_SQL})::INT AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (case/punct-insensitive identity)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", content_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_intersect(list_distinct({_TOKS_SQL}), "
+            f"{[w for w in words]}))"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in sorted(score)
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN {best} > 0 THEN (CASE {cases} END) ELSE 'und' END AS lang_guess
+    FROM documents ORDER BY doc_id
+    """
+
+
+@register("text_lang_id", _lang_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", lang_id("text").alias("lang_guess"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE AS alpha,
+             len(text)::DOUBLE AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+      round(
+        0.3 * least(len(toks) / 200.0, 1.0)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END)
+        + 0.2 * least(len(list_intersect(list_distinct(toks),
+            ['the','of','and','to','in','is','that','for','with','this'])) / 5.0, 1.0)
+        + 0.2 * (CASE WHEN len(toks) > 0 AND alpha / len(toks) BETWEEN 3 AND 10
+                 THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/alpha/stopword/word-len)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "similarity_bruteforce_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine ANN baseline: distributed numpy matmul + bounded top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    return brute_force_topk(emb, q, k=10)
+
+
+@register("similarity_lsh_topk")  # rows-only: approx by design
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH pruned ANN (exact re-rank of candidates)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    return lsh_topk(emb, q, k=10, n_planes=12, max_hamming=5)
+
+
+@register(
+    "agg_terms_missing_other",
+    f"""
+    WITH k AS (
+      SELECT coalesce(nullif(event_type, 'error'), '__missing__') AS key
+      FROM events
+    ),
+    c AS (SELECT key, count(*)::BIGINT AS cnt FROM k GROUP BY key),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, key ASC LIMIT 2)
+    SELECT key, cnt FROM top
+    UNION ALL
+    SELECT '__other__' AS key,
+           (SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top) AS cnt
+    """,
+)
+def agg_terms_missing_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with ES missingBucket + otherBucket semantics."""
+    ev = _events(spark, sf_dir).withColumn(
+        "key_src", F.expr("nullif(event_type, 'error')")
+    )
+    return terms_agg(
+        ev, "key_src", size=2, missing_bucket=True, other_bucket=True
+    )
+
+
+@register(
+    "agg_date_histogram",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, count(*)::BIGINT AS cnt
+    FROM events GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kibana date_histogram over the elected time field."""
+    return date_histogram_agg(_events(spark, sf_dir), "ts", "day")
+
+
+@register("agg_geohash_grid")  # rows-only: geohash UDF not expressible in SQL
+def agg_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 geohash_grid + centroid over synthetic coords derived from events."""
+    ev = _events(spark, sf_dir).select(
+        (F.pmod(F.col("value"), F.lit(180.0)) - 90).alias("lat"),
+        (F.pmod(F.col("value") * 2, F.lit(360.0)) - 180).alias("lon"),
+    )
+    return geohash_grid_agg(ev, "lat", "lon", precision=2)
+
+
+@register(
+    "ingest_date_coercion",
+    """
+    SELECT o_orderkey, strftime(DATE '1970-01-01' + to_days(l_linenumber),
+                                '%Y-%m-%d') AS coerced_date
+    FROM (SELECT l_orderkey AS o_orderkey, l_linenumber FROM lineitem)
+    ORDER BY o_orderkey, coerced_date
+    """,
+)
+def ingest_date_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 logical-date coercion applied as a bulk op (int days → ISO str)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), F.col("l_linenumber")),
+            "yyyy-MM-dd",
+        ).alias("coerced_date"),
+    ).orderBy("o_orderkey", "coerced_date")
+
+
+@register(
+    "ingest_content_hash",
+    """
+    SELECT o_orderkey, md5(concat_ws('|', o_orderkey, o_orderstatus)) AS h
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def ingest_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 content hashing (change detection) as a data-plane op."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus"))).alias("h"),
+    ).orderBy("o_orderkey")
