@@ -119,8 +119,14 @@ WEBTEXT_SCHEMA = T.StructType(
 
 
 def webtext_df(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic generation of the webtext table."""
-    parts = partitions or max(8, n_docs // 25_000)
+    """Distributed deterministic generation of the webtext table.
+
+    Default partition count tracks both corpus size and cluster width so
+    downstream scans are never parallelism-starved (a 4-file input caps
+    every scan stage at 4 tasks no matter how many cores exist)."""
+    parts = partitions or max(
+        spark.sparkContext.defaultParallelism * 2, n_docs // 10_000
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         voc, cdf = vocab(), _zipf_cdf()

@@ -19,12 +19,13 @@ import numpy as np
 from .. import BLOCK_SIZE
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128 varbyte encode a non-negative int array (vectorized)."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varbyte encode + per-value byte lengths (for slicing a batch
+    encode into per-block buffers without re-encoding)."""
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -33,13 +34,17 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=offsets[1:])
     out = np.zeros(int(offsets[-1] + nbytes[-1]), dtype=np.uint8)
-    max_b = int(nbytes.max())
-    for b in range(max_b):
+    for b in range(int(nbytes.max())):
         mask = nbytes > b
         payload = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > b).astype(np.uint8) << 7
         out[offsets[mask] + b] = payload.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128 varbyte encode a non-negative int array (vectorized)."""
+    return varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

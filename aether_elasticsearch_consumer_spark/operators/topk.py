@@ -41,6 +41,7 @@ from .. import K1
 from ..functions.bm25 import bm25_cols, idf_np
 from ..functions.codec import decode_block, varbyte_decode
 from ..functions.tokenizer import tokenize_col, tokenize_py
+from ..functions.xxhash import spark_pmod_bucket
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -52,23 +53,32 @@ TOPK_SCHEMA = T.StructType(
 
 def _score_segment(
     pdf: pd.DataFrame,
-    dfs: dict[str, int],
     N: int,
     avgdl: float,
     k: int,
     k1: float = K1,
     b: float = BM25_B,
 ) -> pd.DataFrame:
-    """Score one segment's query-term posting rows. ``pdf`` columns:
-    term, blocks, lens, start_doc_id. Vectorized block-max MaxScore."""
+    """Score one segment's query-term posting rows. ``pdf`` has one row per
+    posting block: term, df, block_no, first/last_doc_id, max_impact,
+    doc_deltas, tfs, plus the segment sidecar lens/start_doc_id.
+    Vectorized block-max MaxScore."""
     lens_arr = varbyte_decode(pdf["lens"].iloc[0]).astype(np.float64)
     start = int(pdf["start_doc_id"].iloc[0])
 
     terms = []
-    for _, row in pdf.iterrows():
-        t = row["term"]
-        blocks = row["blocks"]
-        idf = float(idf_np(N, float(dfs[t])))
+    for t, grp in pdf.sort_values(["term", "block_no"]).groupby("term", sort=True):
+        blocks = [
+            {
+                "first_doc_id": int(r.first_doc_id),
+                "last_doc_id": int(r.last_doc_id),
+                "max_impact": float(r.max_impact),
+                "doc_deltas": r.doc_deltas,
+                "tfs": r.tfs,
+            }
+            for r in grp.itertuples()
+        ]
+        idf = float(idf_np(N, float(grp["df"].iloc[0])))
         sigma = idf * max(blk["max_impact"] for blk in blocks)
         terms.append((t, idf, sigma, blocks))
 
@@ -137,7 +147,13 @@ def _score_segment(
 
 
 class IndexReader:
-    """Reads the on-disk index layout written by plans.index_build."""
+    """Reads the on-disk index layout written by plans.index_build.
+
+    Latency design: one Spark action per search. Term buckets are computed
+    driver-side with a bit-exact Python xxhash64 (no planning job), the
+    per-term df is a broadcast join folded into the scoring plan (no
+    separate collect round-trip), and the source DataFrames are built once
+    per reader so file listings are reused across queries."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -147,31 +163,20 @@ class IndexReader:
         self.avgdl = float(st["avgdl"])
         self.term_buckets = int(st["term_buckets"])
         self.profile = st["profile"]
+        self._postings = spark.read.parquet(str(self.dir / "postings/data"))
+        self._doclens = spark.read.parquet(str(self.dir / "doclens/data"))
+        self._term_stats = spark.read.parquet(str(self.dir / "term_stats/data"))
 
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
-        if not terms:
-            return {}
-        rows = (
-            self.spark.range(1)
-            .select(
-                *[
-                    F.pmod(F.xxhash64(F.lit(t)), F.lit(self.term_buckets))
-                    .cast("int")
-                    .alias(f"b{i}")
-                    for i, t in enumerate(terms)
-                ]
-            )
-            .collect()[0]
-        )
-        return {t: rows[f"b{i}"] for i, t in enumerate(terms)}
+        # driver-side, bit-exact with F.pmod(F.xxhash64(term), B)
+        return {t: spark_pmod_bucket(t, self.term_buckets) for t in terms}
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
         buckets = self._buckets_for(terms)
         rows = (
-            self.spark.read.parquet(str(self.dir / "term_stats/data"))
-            .where(
+            self._term_stats.where(
                 F.col("term_bucket").isin(list(set(buckets.values())))
                 & F.col("term").isin(terms)
             )
@@ -182,25 +187,25 @@ class IndexReader:
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Top-k BM25 → DataFrame(doc_id, score) globally ordered."""
         terms = sorted(set(tokenize_py(query, self.profile)))
-        dfs = self.term_dfs(terms)
-        terms = [t for t in terms if t in dfs]
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         buckets = self._buckets_for(terms)
-        postings = self.spark.read.parquet(str(self.dir / "postings/data")).where(
-            F.col("term_bucket").isin(list(set(buckets.values())))
-            & F.col("term").isin(terms)
+        bucket_pred = F.col("term_bucket").isin(
+            list(set(buckets.values()))
+        ) & F.col("term").isin(terms)
+        postings = self._postings.where(bucket_pred)
+        stats = self._term_stats.where(bucket_pred).select("term", "df")
+        # df folds into the plan via broadcast (a query touches ≤ a few
+        # terms); doclens joins on segment_id — AQE broadcasts the filtered
+        # postings side at runtime when small, shuffle-joins when a head
+        # term's postings are genuinely large. Correct at 10^12 scale.
+        joined = postings.join(F.broadcast(stats), "term").join(
+            self._doclens, "segment_id"
         )
-        doclens = self.spark.read.parquet(str(self.dir / "doclens/data"))
-        # postings is pre-filtered to the query's terms (tiny vs the corpus);
-        # leave join strategy to AQE: it broadcasts the small side at runtime,
-        # and falls back to a shuffle join on segment_id when a head term's
-        # postings are genuinely large — correct at both test and 10^12 scale.
-        joined = postings.join(doclens, "segment_id")
         N, avgdl = self.N, self.avgdl
 
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_segment(pdf, dfs, N, avgdl, k)
+            return _score_segment(pdf, N, avgdl, k)
 
         per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -32,18 +32,20 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import functools
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import B as BM25_B
 from .. import BLOCK_SIZE, K1
-from ..functions.codec import delta_encode, varbyte_encode
+from ..functions.codec import varbyte_encode, varbyte_encode_with_lengths
 from ..functions.html import extract_text
 from ..functions.tokenizer import tokenize_col
 from .checkpoint import content_hash, run_stage
@@ -52,28 +54,21 @@ from .doc_ids import assign_doc_ids
 DEFAULT_DOCS_PER_SEGMENT = 8192
 DEFAULT_TERM_BUCKETS = 16
 
+# one row per 128-posting block, fully flat — rows build from numpy arrays
+# with zero per-row Python objects, and the query side reads plain columns
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.LongType(), False),
         T.StructField("term_bucket", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("df_seg", T.LongType(), False),
-        T.StructField(
-            "blocks",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("first_doc_id", T.LongType(), False),
-                        T.StructField("last_doc_id", T.LongType(), False),
-                        T.StructField("count", T.IntegerType(), False),
-                        T.StructField("max_impact", T.DoubleType(), False),
-                        T.StructField("doc_deltas", T.BinaryType(), False),
-                        T.StructField("tfs", T.BinaryType(), False),
-                    ]
-                )
-            ),
-            False,
-        ),
+        T.StructField("block_no", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("max_impact", T.DoubleType(), False),
+        T.StructField("doc_deltas", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
     ]
 )
 
@@ -82,6 +77,7 @@ DOCLENS_SCHEMA = T.StructType(
         T.StructField("segment_id", T.LongType(), False),
         T.StructField("start_doc_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("sum_len", T.LongType(), False),
         T.StructField("lens", T.BinaryType(), False),
     ]
 )
@@ -100,42 +96,97 @@ def build_docs_df(source: DataFrame, profile: str = "ascii",
     return assign_doc_ids(df, "url", n_buckets=n_buckets).drop("_bucket")
 
 
-def _assemble_postings(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (segment_id, term_bucket) group of (term, doc_id, tf, doc_len)
-    rows → one output row per term with compressed block-max blocks.
-    Pure numpy within the group — no per-row Python."""
-    seg = int(pdf["segment_id"].iloc[0])
-    tb = int(pdf["term_bucket"].iloc[0])
-    order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
-    terms = pdf["term"].to_numpy()[order]
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["doc_len"].to_numpy()[order].astype(np.float64)
-    avgdl = float(pdf["avgdl"].iloc[0])
+def _assemble_postings_arrow(tbl: "pa.Table", avgdl: float) -> "pa.Table":
+    """One (segment_id, term_bucket) group of **token-level** rows
+    (term, doc_id, doc_len) → one output row per 128-posting block.
+
+    Everything is vectorized end-to-end: terms dictionary-encode in Arrow
+    C++ (strings never become Python objects), tf counting is run-length
+    over the (term, doc) lexsort, per-block deltas build with a masked
+    where, and the whole group's doc/tf streams varbyte-encode in two
+    batch calls whose per-value byte lengths slice the buffer into block
+    payloads. The only per-block Python work is a bytes slice."""
+    seg = int(tbl["segment_id"][0].as_py())
+    tb = int(tbl["term_bucket"][0].as_py())
+    enc = pc.dictionary_encode(tbl["term"].combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
+    doc_ids_all = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls_all = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((doc_ids_all, codes))
+    c_sorted = codes[order]
+    d_sorted = doc_ids_all[order]
+    l_sorted = dls_all[order]
+
+    # posting boundaries: first token of each (term, doc) run → tf counts
+    n_tok = len(c_sorted)
+    is_start = np.empty(n_tok, dtype=bool)
+    is_start[0] = True
+    np.not_equal(c_sorted[1:], c_sorted[:-1], out=is_start[1:])
+    is_start[1:] |= d_sorted[1:] != d_sorted[:-1]
+    p_start_tok = np.flatnonzero(is_start)
+    tfs = np.diff(np.append(p_start_tok, n_tok))
+    p_codes = c_sorted[p_start_tok]
+    p_docs = d_sorted[p_start_tok]
+    p_dls = l_sorted[p_start_tok].astype(np.float64)
+    P = len(p_codes)
+
+    # per-term posting runs
+    t_is_start = np.empty(P, dtype=bool)
+    t_is_start[0] = True
+    np.not_equal(p_codes[1:], p_codes[:-1], out=t_is_start[1:])
+    t_starts = np.flatnonzero(t_is_start)
+    t_lens = np.diff(np.append(t_starts, P))
+
+    # 128-aligned block starts within each term run
+    rel = np.arange(P, dtype=np.int64) - np.repeat(t_starts, t_lens)
+    b_is_start = (rel % BLOCK_SIZE) == 0
+    b_starts = np.flatnonzero(b_is_start)
+    b_ends = np.append(b_starts[1:], P)
+    b_lens = (b_ends - b_starts).astype(np.int32)
+    n_blocks = len(b_starts)
+
+    # delta stream: absolute doc id at block starts, gap-1 elsewhere
+    prev = np.empty(P, dtype=np.int64)
+    prev[0] = 0
+    prev[1:] = p_docs[:-1]
+    doc_vals = np.where(b_is_start, p_docs, p_docs - prev - 1)
+
     # idf-free impact — exact per-posting, so block maxes are exact bounds
-    impact = tfs / (tfs + K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
-    uniq, starts = np.unique(terms, return_index=True)
-    bounds = np.append(starts, len(terms))
-    out = []
-    for i, term in enumerate(uniq):
-        s, e = bounds[i], bounds[i + 1]
-        blocks = []
-        for bs in range(s, e, BLOCK_SIZE):
-            be = min(bs + BLOCK_SIZE, e)
-            ids = doc_ids[bs:be]
-            blocks.append(
-                {
-                    "first_doc_id": int(ids[0]),
-                    "last_doc_id": int(ids[-1]),
-                    "count": int(be - bs),
-                    "max_impact": float(impact[bs:be].max()),
-                    "doc_deltas": varbyte_encode(delta_encode(ids)),
-                    "tfs": varbyte_encode(tfs[bs:be] - 1),
-                }
-            )
-        out.append((seg, tb, str(term), int(e - s), blocks))
-    return pd.DataFrame(
-        out, columns=["segment_id", "term_bucket", "term", "df_seg", "blocks"]
+    impact = tfs / (tfs + K1 * (1.0 - BM25_B + BM25_B * p_dls / avgdl))
+    b_max_impact = np.maximum.reduceat(impact, b_starts)
+
+    # batch varbyte encode + slice by cumulative byte lengths
+    doc_buf, doc_lens = varbyte_encode_with_lengths(doc_vals)
+    tf_buf, tf_lens = varbyte_encode_with_lengths(tfs - 1)
+    doc_off = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(doc_lens, out=doc_off[1:])
+    tf_off = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(tf_lens, out=tf_off[1:])
+    doc_blobs = [doc_buf[doc_off[s] : doc_off[e]] for s, e in zip(b_starts, b_ends)]
+    tf_blobs = [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(b_starts, b_ends)]
+
+    # per-block term linkage
+    b_term_idx = np.searchsorted(t_starts, b_starts, side="right") - 1
+    b_block_no = ((b_starts - t_starts[b_term_idx]) // BLOCK_SIZE).astype(np.int32)
+    b_terms = dict_strs[p_codes[b_starts]]
+    b_df_seg = t_lens[b_term_idx].astype(np.int64)
+
+    return pa.table(
+        {
+            "segment_id": pa.array(np.full(n_blocks, seg, dtype=np.int64)),
+            "term_bucket": pa.array(np.full(n_blocks, tb, dtype=np.int32)),
+            "term": pa.array(b_terms, type=pa.string()),
+            "df_seg": pa.array(b_df_seg),
+            "block_no": pa.array(b_block_no),
+            "first_doc_id": pa.array(p_docs[b_starts]),
+            "last_doc_id": pa.array(p_docs[b_ends - 1]),
+            "count": pa.array(b_lens),
+            "max_impact": pa.array(b_max_impact),
+            "doc_deltas": pa.array(doc_blobs, type=pa.binary()),
+            "tfs": pa.array(tf_blobs, type=pa.binary()),
+        }
     )
 
 
@@ -150,8 +201,8 @@ def _assemble_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
     dense = np.zeros(int(ids[-1]) - start + 1, dtype=np.int64)
     dense[ids - start] = lens
     return pd.DataFrame(
-        [(seg, start, len(dense), varbyte_encode(dense))],
-        columns=["segment_id", "start_doc_id", "n_docs", "lens"],
+        [(seg, start, len(dense), int(lens.sum()), varbyte_encode(dense))],
+        columns=["segment_id", "start_doc_id", "n_docs", "sum_len", "lens"],
     )
 
 
@@ -205,29 +256,6 @@ class IndexBuilder:
         manifests["docs"] = run_stage("docs", self.dir / "docs", fp, docs_stage, force)
         docs = self.spark.read.parquet(str(self.dir / "docs/data"))
 
-        def stats_stage(tmp: str) -> dict:
-            row = docs.agg(
-                F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
-            ).collect()[0]
-            stats = self.spark.createDataFrame(
-                [
-                    (
-                        int(row["N"]),
-                        float(row["avgdl"]),
-                        self.dps,
-                        self.term_buckets,
-                        self.profile,
-                    )
-                ],
-                "N long, avgdl double, docs_per_segment long, term_buckets int, profile string",
-            )
-            stats.coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
-            return {"N": int(row["N"]), "avgdl": float(row["avgdl"])}
-
-        manifests["stats"] = run_stage("stats", self.dir / "stats", fp, stats_stage, force)
-        st = self.spark.read.parquet(str(self.dir / "stats/data")).collect()[0]
-        avgdl = float(st["avgdl"])
-
         def doclens_stage(tmp: str) -> dict:
             (
                 docs.select(
@@ -246,31 +274,51 @@ class IndexBuilder:
             "doclens", self.dir / "doclens", fp, doclens_stage, force
         )
 
+        def stats_stage(tmp: str) -> dict:
+            # N/avgdl fold out of the doclens sidecar (a few rows per
+            # segment) — no extra full scan of the docs table
+            row = (
+                self.spark.read.parquet(str(self.dir / "doclens/data"))
+                .agg(F.sum("n_docs").alias("N"), F.sum("sum_len").alias("S"))
+                .collect()[0]
+            )
+            N, avgdl = int(row["N"]), float(row["S"]) / int(row["N"])
+            stats = self.spark.createDataFrame(
+                [(N, avgdl, self.dps, self.term_buckets, self.profile)],
+                "N long, avgdl double, docs_per_segment long, term_buckets int, profile string",
+            )
+            stats.coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
+            return {"N": N, "avgdl": avgdl}
+
+        manifests["stats"] = run_stage("stats", self.dir / "stats", fp, stats_stage, force)
+        st = self.spark.read.parquet(str(self.dir / "stats/data")).collect()[0]
+        avgdl = float(st["avgdl"])
+
         def postings_stage(tmp: str) -> dict:
+            # ONE shuffle: token-level rows group straight to their
+            # (segment, term_bucket) assembly task; tf counting happens
+            # vectorized inside the assembly UDF. avgdl rides the closure,
+            # never a per-row column.
             tokens = docs.select(
+                (F.col("doc_id") / self.dps).cast("long").alias("segment_id"),
                 "doc_id",
                 "doc_len",
                 F.explode(tokenize_col("text", self.profile)).alias("term"),
+            ).withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.term_buckets)).cast("int"),
             )
-            tf = tokens.groupBy("term", "doc_id").agg(
-                F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
-            )
-            enriched = tf.select(
-                (F.col("doc_id") / self.dps).cast("long").alias("segment_id"),
-                F.pmod(F.xxhash64("term"), F.lit(self.term_buckets))
-                .cast("int")
-                .alias("term_bucket"),
-                "term",
-                "doc_id",
-                "tf",
-                "doc_len",
-                F.lit(avgdl).alias("avgdl"),
-            )
+            def assemble(tbl: pa.Table) -> pa.Table:
+                return _assemble_postings_arrow(tbl, avgdl)
+
+            # the groupBy output is already hash-partitioned by
+            # (segment_id, term_bucket) — write directly from those tasks
+            # (files per bucket dir ≤ shuffle partitions); an extra
+            # repartition would re-shuffle every encoded block for nothing
             (
-                enriched.groupBy("segment_id", "term_bucket")
-                .applyInPandas(_assemble_postings, POSTINGS_SCHEMA)
-                .repartition("term_bucket")
-                .sortWithinPartitions("term", "segment_id")
+                tokens.groupBy("segment_id", "term_bucket")
+                .applyInArrow(assemble, POSTINGS_SCHEMA)
+                .sortWithinPartitions("term", "segment_id", "block_no")
                 .write.mode("overwrite")
                 .partitionBy("term_bucket")
                 .parquet(tmp + "/data")
@@ -284,8 +332,9 @@ class IndexBuilder:
         def term_stats_stage(tmp: str) -> dict:
             postings = self.spark.read.parquet(str(self.dir / "postings/data"))
             (
+                # sum block counts (df_seg repeats per block row of a term)
                 postings.groupBy("term_bucket", "term")
-                .agg(F.sum("df_seg").alias("df"))
+                .agg(F.sum("count").alias("df"))
                 .repartition("term_bucket")
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")

@@ -37,6 +37,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # one BLAS/OMP thread per python worker: N workers × M BLAS threads
+        # oversubscribes the host and wrecks scaling measurements
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # shuffle spill to tmpfs: the sandbox has a single virtual disk that
+        # serializes all shuffle I/O; RAM-backed local dirs stand in for the
+        # per-node NVMe a real cluster provides
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -119,3 +119,23 @@ class TestBM25:
         norm = 3 + 1.2 * (1 - 0.75 + 0.75 * 10 / 12)
         got = bm25_np(np.array([3]), 2.0, np.array([10.0]), 4, 12.0)
         assert got[0] == pytest.approx(idf * 3 / norm, rel=1e-12)
+
+
+class TestXxHash64:
+    """Driver-side xxhash64 must be bit-exact with Spark's JVM xxhash64 —
+    term-bucket pruning correctness depends on it."""
+
+    def test_matches_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from aether_elasticsearch_consumer_spark.functions.xxhash import (
+            xxhash64_signed,
+        )
+
+        words = ["", "a", "the", "keta", "x" * 31, "y" * 32, "z" * 100,
+                 "日本語テキスト", "mixed ASCII と kana"]
+        row = spark.range(1).select(
+            *[F.xxhash64(F.lit(w)).alias(f"h{i}") for i, w in enumerate(words)]
+        ).collect()[0]
+        for i, w in enumerate(words):
+            assert row[f"h{i}"] == xxhash64_signed(w), repr(w)
