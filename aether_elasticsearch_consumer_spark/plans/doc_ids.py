@@ -20,10 +20,12 @@ from pyspark.sql import functions as F
 
 
 def assign_doc_ids(
-    df: DataFrame, id_col: str = "url", n_buckets: int = 64
+    df: DataFrame, id_col: str = "url", n_buckets: int = 64, offset: int = 0
 ) -> DataFrame:
-    """Add dense deterministic ``doc_id`` int64 column. Two jobs: one
-    n_buckets-row count aggregate, one bucketed window rank."""
+    """Add dense deterministic ``doc_id`` int64 column starting at
+    ``offset`` (used by incremental delta builds to occupy a doc-id range
+    disjoint from the base index). Two jobs: one n_buckets-row count
+    aggregate, one bucketed window rank."""
     bucketed = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     )
@@ -31,7 +33,7 @@ def assign_doc_ids(
         bucketed.groupBy("_bucket").count().orderBy("_bucket").collect()
     )
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = offset
     for row in counts:
         offsets[row["_bucket"]] = acc
         acc += row["count"]

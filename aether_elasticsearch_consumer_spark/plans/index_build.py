@@ -6,12 +6,14 @@ batch dataflow:
 
   docs:      webtext → extract_text (Arrow UDF) → tokenize → doc_len
              → deterministic dense doc_id → parquet
-  stats:     N, avgdl (one aggregate)
   doclens:   per-segment varbyte array of doc lengths (scorer sidecar)
-  postings:  explode(tokens) → groupBy(term, doc_id).count  [two-phase
-             partial agg] → applyInPandas over (segment_id, term_bucket)
-             groups → per-term delta+varbyte blocks with exact idf-free
-             block-max impact metadata → parquet partitioned by term_bucket
+  stats:     N, avgdl folded out of the doclens sidecar (no extra scan)
+  postings:  explode(tokens) → ONE shuffle to (segment_id, term_bucket)
+             groups → applyInArrow assembly (dictionary-encoded terms,
+             run-length tf counting, batch varbyte, flat one-row-per-block
+             output with exact idf-free block-max metadata) → parquet
+             partitioned by term_bucket, written straight from the group
+             tasks (no re-shuffle)
   term_stats: per-term global df → parquet partitioned by term_bucket
 
 Scale design (10^12 docs):
@@ -23,8 +25,10 @@ Scale design (10^12 docs):
   (segment_id, term_bucket); a term's postings within one group never
   exceed ``docs_per_segment`` rows, so "the" is split across segments by
   construction — long-posting-list splitting without a special case.
-- groupBy(term, doc_id) benefits from map-side partial aggregation
-  (Catalyst HashAggregate) — tf counting never ships raw token rows.
+- **Zero per-row Python**: assembly is Arrow C++ dictionary encode +
+  numpy; the only Python loop slices pre-encoded byte buffers per block.
+- Incremental ingest: a delta index built at a ``doc_id_offset`` merges
+  with the base by pure union (plans/segments.py) — no decode, no rewrite.
 - postings partitioned by ``term_bucket`` (pmod(xxhash64(term), B)) and
   sorted by (term, segment_id) within files → a term query prunes to 1/B
   of files by directory and to few row-groups by min/max.
@@ -32,7 +36,6 @@ Scale design (10^12 docs):
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import numpy as np
@@ -84,7 +87,7 @@ DOCLENS_SCHEMA = T.StructType(
 
 
 def build_docs_df(source: DataFrame, profile: str = "ascii",
-                  n_buckets: int = 64) -> DataFrame:
+                  n_buckets: int = 64, doc_id_offset: int = 0) -> DataFrame:
     """webtext → docs with text, tokens-derived doc_len, dense doc_id."""
     cols = set(source.columns)
     df = source
@@ -93,7 +96,7 @@ def build_docs_df(source: DataFrame, profile: str = "ascii",
     df = df.withColumn("doc_len", F.size(tokenize_col("text", profile)))
     keep = [c for c in ("url", "warc_ts", "lang", "text", "doc_len") if c in cols or c in ("text", "doc_len")]
     df = df.select(*keep)
-    return assign_doc_ids(df, "url", n_buckets=n_buckets).drop("_bucket")
+    return assign_doc_ids(df, "url", n_buckets=n_buckets, offset=doc_id_offset).drop("_bucket")
 
 
 def _assemble_postings_arrow(tbl: "pa.Table", avgdl: float) -> "pa.Table":
@@ -226,6 +229,7 @@ class IndexBuilder:
         docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
         term_buckets: int = DEFAULT_TERM_BUCKETS,
         id_buckets: int = 64,
+        doc_id_offset: int = 0,
     ):
         self.spark = spark
         self.dir = Path(index_dir)
@@ -233,6 +237,11 @@ class IndexBuilder:
         self.dps = docs_per_segment
         self.term_buckets = term_buckets
         self.id_buckets = id_buckets
+        # delta builds start past the base index; must be a multiple of
+        # docs_per_segment so segment ids never collide across a merge
+        if doc_id_offset % docs_per_segment:
+            raise ValueError("doc_id_offset must be a multiple of docs_per_segment")
+        self.doc_id_offset = doc_id_offset
 
     def build(self, source: DataFrame, fingerprint_extra: object = None,
               force: bool = False) -> dict:
@@ -242,6 +251,7 @@ class IndexBuilder:
                 "dps": self.dps,
                 "term_buckets": self.term_buckets,
                 "id_buckets": self.id_buckets,
+                "doc_id_offset": self.doc_id_offset,
                 "source": fingerprint_extra,
                 "v": 1,
             }
@@ -249,7 +259,7 @@ class IndexBuilder:
         manifests = {}
 
         def docs_stage(tmp: str) -> dict:
-            docs = build_docs_df(source, self.profile, self.id_buckets)
+            docs = build_docs_df(source, self.profile, self.id_buckets, self.doc_id_offset)
             docs.write.mode("overwrite").parquet(tmp + "/data")
             return {}
 

@@ -60,6 +60,8 @@ def main():
     n_docs = max(2000, int(WEBTEXT_DOCS_PER_SF * sf))
 
     spark = get_spark("bench", cores=cores)
+    # session warmup (JIT/codegen/python workers) — not part of any metric
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     t_total = time.time()
     per_query: dict[str, float] = {}
 
