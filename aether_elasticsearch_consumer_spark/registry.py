@@ -551,3 +551,166 @@ def ingest_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.md5(F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus"))).alias("h"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Additional coverage: more full-text shapes + generic relational operators
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fulltext_bm25_topk_tail",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('customer', 'slow', 'zzabsent7')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.doc_id AS doc_id,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 5
+    """,
+)
+def fulltext_bm25_topk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 edge shape: k=5, mixed present + absent query terms."""
+    return naive_bm25_topk(_docs(spark, sf_dir), "customer slow zzabsent7", k=5)
+
+
+@register(
+    "fulltext_or_count",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)
+    SELECT count(*)::BIGINT AS cnt FROM toks
+    WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+       OR len(list_filter(ts, t -> t = 'window')) > 0
+    """,
+)
+def fulltext_or_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 OR semantics: disjunctive match count."""
+    d = _docs(spark, sf_dir)
+    toks = tokenize_col("text")
+    return d.where(
+        F.array_contains(toks, "spark") | F.array_contains(toks, "window")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "agg_quality_histogram",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE AS alpha,
+             len(text)::DOUBLE AS n_chars
+      FROM documents
+    ),
+    q AS (
+      SELECT round(
+        0.3 * least(len(toks) / 200.0, 1.0)
+        + 0.3 * (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END)
+        + 0.2 * least(len(list_intersect(list_distinct(toks),
+            ['the','of','and','to','in','is','that','for','with','this'])) / 5.0, 1.0)
+        + 0.2 * (CASE WHEN len(toks) > 0 AND alpha / len(toks) BETWEEN 3 AND 10
+                 THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM t
+    )
+    SELECT (floor(quality / 0.1) * 0.1)::DOUBLE AS bucket, count(*)::BIGINT AS cnt
+    FROM q GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: quality score → histogram (A3 over a derived
+    training-data metric)."""
+    from .operators.aggregations import histogram_agg
+
+    scored = _docs(spark, sf_dir).select(
+        quality_score("text").alias("quality")
+    )
+    return histogram_agg(scored, "quality", 0.1)
+
+
+@register(
+    "rel_group_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*)::BIGINT AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def rel_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic two-phase grouped aggregation (pricing-summary shape)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "rel_broadcast_join",
+    """
+    SELECT c.c_mktsegment AS seg, count(*)::BIGINT AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY seg ORDER BY seg
+    """,
+)
+def rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join (broadcast) + aggregation — the scaled-up form of the
+    reference's lookup-decode pattern (F11)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "rel_semi_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT
+        AS with_orders,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))::BIGINT
+        AS without_orders
+    """,
+)
+def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins — the engine-side idiom behind idempotent MERGE (S4)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "with_orders long, without_orders long"
+    )

@@ -1,0 +1,113 @@
+"""Resource store / job status (§3.3 API surface) + unicode-profile
+end-to-end index parity."""
+
+from __future__ import annotations
+
+import jsonschema
+import pytest
+
+from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+from aether_elasticsearch_consumer_spark.oracle.engine import (
+    build_oracle_index,
+    score_query,
+)
+from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+from aether_elasticsearch_consumer_spark.plans.resources import (
+    ResourceStore,
+    job_status,
+)
+
+GOOD_SUB = {
+    "id": "s1",
+    "topic_pattern": "tenant.*",
+    "topic_options": {
+        "filter_required": True,
+        "filter_field_path": "status",
+        "filter_pass_values": ["ok"],
+        "masking_annotation": "@aether_masking",
+        "masking_levels": ["public", "private"],
+        "masking_emit_level": "public",
+    },
+}
+
+
+class TestResourceStore:
+    def test_crud_and_validation(self, tmp_path):
+        store = ResourceStore(tmp_path, "tenant_a")
+        assert store.describe() == ["job", "subscription"]
+        assert store.validate("subscription", GOOD_SUB) == []
+        store.add("subscription", GOOD_SUB)
+        assert store.list("subscription") == ["s1"]
+        assert store.get("subscription", "s1")["topic_pattern"] == "tenant.*"
+        # invalid: unknown property
+        bad = {**GOOD_SUB, "nope": 1}
+        assert store.validate("subscription", bad)
+        with pytest.raises(jsonschema.ValidationError):
+            store.add("subscription", bad)
+        # job referencing the subscription
+        store.add("job", {"id": "j1", "subscriptions": ["s1"],
+                          "index": {"profile": "unicode"}})
+        assert store.list("job") == ["j1"]
+        assert store.delete("subscription", "s1")
+        assert store.list("subscription") == []
+        assert not store.delete("subscription", "s1")
+
+    def test_tenant_isolation(self, tmp_path):
+        a = ResourceStore(tmp_path, "tenant_a")
+        b = ResourceStore(tmp_path, "tenant_b")
+        a.add("subscription", GOOD_SUB)
+        assert b.list("subscription") == []
+
+    def test_job_status_absent(self, tmp_path):
+        assert job_status(tmp_path / "nope")["state"] == "absent"
+
+
+UNICODE_DOCS = [
+    ("u0", "Ĝis la revido! Ĉi tiu teksto estas esperanta kaj ĝoja."),
+    ("u1", "Überraschung: größte Straße, schöne Grüße aus München."),
+    ("u2", "Ĉi tiu alia teksto parolas pri ĝojo kaj muziko ĉie."),
+    ("u3", "plain ascii text with no diacritics at all here"),
+    ("u4", "größte Überraschung in München: Straße voller Musik."),
+]
+
+
+class TestUnicodeProfile:
+    def test_unicode_index_matches_oracle(self, spark, tmp_path):
+        """The unicode analyzer (Arrow pandas_udf path) must be
+        rank-identical to the oracle end-to-end through build + search."""
+        src = spark.createDataFrame(
+            [(f"https://x.example/{i}", t) for i, t in UNICODE_DOCS],
+            "url string, text string",
+        )
+        d = str(tmp_path / "uidx")
+        IndexBuilder(
+            spark, d, profile="unicode", docs_per_segment=4, term_buckets=4
+        ).build(src, fingerprint_extra="unicode5")
+        docs = (
+            spark.read.parquet(f"{d}/docs/data")
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        oracle = build_oracle_index(
+            list(zip(docs["doc_id"], docs["text"])), profile="unicode"
+        )
+        reader = IndexReader(spark, d)
+        assert reader.profile == "unicode"
+        for q in ["ĝoja ĉi", "GRÖSSTE Straße", "plain", "münchen musik"]:
+            got = [(r["doc_id"], r["score"]) for r in reader.search(q, k=5).collect()]
+            want = score_query(oracle, q, k=5)
+            assert [g[0] for g in got] == [w[0] for w in want], q
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, abs=1e-9)
+
+    def test_job_status_complete(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [("https://x/1", "hello world")], "url string, text string"
+        )
+        d = str(tmp_path / "sidx")
+        IndexBuilder(spark, d, docs_per_segment=4, term_buckets=2).build(
+            src, fingerprint_extra="one"
+        )
+        st = job_status(d)
+        assert st["state"] == "complete"
+        assert set(st["stages"]) >= {"docs", "doclens", "stats", "postings", "term_stats"}
