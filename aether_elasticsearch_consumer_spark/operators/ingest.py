@@ -85,6 +85,24 @@ def discover_geo_fields(
     return None
 
 
+def get_nested(path: str) -> Column:
+    """P4 jsonpath-style dotted field get (processor.py:54-68 CachedParser)
+    — Catalyst nested access, no runtime parser."""
+    return F.col(path)
+
+
+def replace_nested(df: DataFrame, path: str, value: Column) -> DataFrame:
+    """P5 nested field replace (aether replace_nested, processor.py:70-79):
+    set ``a.b.c`` to ``value`` preserving the rest of the struct, via
+    chained ``withField`` — pure Column surgery, never a UDF."""
+    parts = path.split(".")
+    if len(parts) == 1:
+        return df.withColumn(path, value)
+    root = parts[0]
+    inner = ".".join(parts[1:])
+    return df.withColumn(root, F.col(root).withField(inner, value))
+
+
 @dataclass
 class IngestPipeline:
     """Compiled ingest plan for one topic/schema."""

@@ -82,6 +82,51 @@ def _score_segment(
         sigma = idf * max(blk["max_impact"] for blk in blocks)
         terms.append((t, idf, sigma, blocks))
 
+    # single-term fast path: impact-ordered block traversal with exact
+    # early termination (Lucene-style impact iterator) — process blocks by
+    # descending max_impact; once the k-th best exact score exceeds
+    # idf·max_impact of every remaining block, no remaining posting can
+    # enter the top-k. Dominates head-term ("the") p99 latency.
+    if len(terms) == 1:
+        t, idf, _sigma, blocks = terms[0]
+        ordered = sorted(blocks, key=lambda blk: -blk["max_impact"])
+        pos_parts, sc_parts = [], []
+        kth = -np.inf
+        n_cand = 0
+        best = np.empty(0, dtype=np.float64)  # rolling top-k score pool
+        for blk in ordered:
+            # 1e-9 margin: scores are rounded to 9 decimals before ranking,
+            # so a skipped posting must be strictly below kth even after
+            # rounding, or it could displace the k-th by doc_id tie-break
+            if n_cand >= k and idf * blk["max_impact"] < kth - 1e-9:
+                break
+            ids, tfs_ = decode_block(blk["doc_deltas"], blk["tfs"])
+            pos = ids - start
+            tf = tfs_.astype(np.float64)
+            dl = lens_arr[pos]
+            sc = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            pos_parts.append(pos)
+            sc_parts.append(sc)
+            n_cand += len(pos)
+            best = np.concatenate([best, sc])
+            if len(best) > 4 * k:
+                best = best[np.argpartition(-best, k - 1)[:k]]
+            if len(best) >= k:
+                kth = float(np.partition(best, -k)[-k])
+        if not pos_parts:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        cand = np.concatenate(pos_parts)
+        scores = np.round(np.concatenate(sc_parts), 9)
+        if len(cand) > k:
+            top = np.argpartition(-scores, k - 1)[:k]
+            cand, scores = cand[top], scores[top]
+        order = np.lexsort((cand, -scores))
+        cand, scores = cand[order], scores[order]
+        return pd.DataFrame(
+            {"doc_id": (cand + start).astype(np.int64), "score": scores}
+        )
+
     # accumulator over the segment's dense doc range
     acc = np.zeros(len(lens_arr), dtype=np.float64)
     seen = np.zeros(len(lens_arr), dtype=bool)

@@ -99,7 +99,14 @@ def build_docs_df(source: DataFrame, profile: str = "ascii",
     return assign_doc_ids(df, "url", n_buckets=n_buckets, offset=doc_id_offset).drop("_bucket")
 
 
-def _assemble_postings_arrow(tbl: "pa.Table", avgdl: float) -> "pa.Table":
+DL_BITS = 20  # doc_len < 2^20 packs into the low bits of one int64;
+# doc_id then spans 2^43 — comfortably past the 10^12-doc target
+DL_MASK = (1 << DL_BITS) - 1
+
+
+def _assemble_postings_arrow(
+    tbl: "pa.Table", avgdl: float, dps: int
+) -> "pa.Table":
     """One (segment_id, term_bucket) group of **token-level** rows
     (term, doc_id, doc_len) → one output row per 128-posting block.
 
@@ -109,13 +116,14 @@ def _assemble_postings_arrow(tbl: "pa.Table", avgdl: float) -> "pa.Table":
     where, and the whole group's doc/tf streams varbyte-encode in two
     batch calls whose per-value byte lengths slice the buffer into block
     payloads. The only per-block Python work is a bytes slice."""
-    seg = int(tbl["segment_id"][0].as_py())
     tb = int(tbl["term_bucket"][0].as_py())
     enc = pc.dictionary_encode(tbl["term"].combine_chunks())
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
-    doc_ids_all = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dls_all = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids_all = packed >> DL_BITS
+    dls_all = packed & DL_MASK
+    seg = int(doc_ids_all[0]) // dps  # all rows share one segment (group key)
 
     order = np.lexsort((doc_ids_all, codes))
     c_sorted = codes[order]
@@ -309,24 +317,32 @@ class IndexBuilder:
             # (segment, term_bucket) assembly task; tf counting happens
             # vectorized inside the assembly UDF. avgdl rides the closure,
             # never a per-row column.
+            # pack (doc_id, doc_len) into one int64 and derive the segment
+            # in the grouping expression — token rows shuffle as
+            # (packed, term, term_bucket), ~40% lighter than five columns
             tokens = docs.select(
-                (F.col("doc_id") / self.dps).cast("long").alias("segment_id"),
-                "doc_id",
-                "doc_len",
+                (F.shiftleft(F.col("doc_id"), DL_BITS)
+                 + F.least(F.col("doc_len"), F.lit(DL_MASK)))
+                .alias("packed"),
                 F.explode(tokenize_col("text", self.profile)).alias("term"),
             ).withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(self.term_buckets)).cast("int"),
             )
-            def assemble(tbl: pa.Table) -> pa.Table:
-                return _assemble_postings_arrow(tbl, avgdl)
+            dps = self.dps
 
+            def assemble(tbl: pa.Table) -> pa.Table:
+                return _assemble_postings_arrow(tbl, avgdl, dps)
+
+            seg_key = (
+                F.shiftright(F.col("packed"), DL_BITS) / dps
+            ).cast("long").alias("segment_id")
             # the groupBy output is already hash-partitioned by
             # (segment_id, term_bucket) — write directly from those tasks
             # (files per bucket dir ≤ shuffle partitions); an extra
             # repartition would re-shuffle every encoded block for nothing
             (
-                tokens.groupBy("segment_id", "term_bucket")
+                tokens.groupBy(seg_key, F.col("term_bucket"))
                 .applyInArrow(assemble, POSTINGS_SCHEMA)
                 .sortWithinPartitions("term", "segment_id", "block_no")
                 .write.mode("overwrite")

@@ -72,15 +72,17 @@ def main():
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     runs = {}
     attempts = {low: [], high: []}
-    # best-of-N per width: the sandbox VM has noisy-neighbor variance
-    # (same build observed 52s..79s back-to-back); best-of-N recovers the
-    # machine's true capability at each width
-    for cores in (low, high):
-        for i in range(repeats):
+    # interleaved best-of-N: the sandbox VM drifts ±2× over minutes (same
+    # build observed 52s..79s back-to-back); alternating widths
+    # decorrelates the drift from the width, best-of-N per width recovers
+    # the machine's true capability
+    for i in range(repeats):
+        for cores in (low, high):
             r = run_build(src, str(work / f"idx_{cores}_{i}"), cores)
             attempts[cores].append(r)
             print(f"cores={cores} run{i}: {r['docs_per_sec']} docs/s "
                   f"({r['elapsed_sec']}s)", file=sys.stderr)
+    for cores in (low, high):
         runs[cores] = max(attempts[cores], key=lambda r: r["docs_per_sec"])
 
     tput_low = runs[low]["docs_per_sec"]

@@ -242,3 +242,25 @@ class TestPipeline:
         row = {r["id"]: r for r in out.collect()}["a"]
         assert row["aet_join"]["name"] == "facility"
         assert row["aet_join"]["parent"] == "operational"
+
+
+class TestNestedOps:
+    def test_get_and_replace_nested(self, spark, survey_df):
+        from pyspark.sql import functions as F
+
+        from aether_elasticsearch_consumer_spark.operators.ingest import (
+            get_nested,
+            replace_nested,
+        )
+
+        got = survey_df.select(get_nested("geometry.latitude").alias("lat")).collect()
+        assert got[0]["lat"] == pytest.approx(9.07, rel=1e-6)
+        out = replace_nested(
+            survey_df, "geometry.altitude", F.lit(999.0).cast("float")
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows["a"]["geometry"]["altitude"] == 999.0
+        assert rows["a"]["geometry"]["latitude"] == pytest.approx(9.07, rel=1e-6)
+        # top-level replace
+        out2 = replace_nested(survey_df, "operational_status", F.lit("x"))
+        assert {r["operational_status"] for r in out2.collect()} == {"x"}
