@@ -87,14 +87,21 @@ DOCLENS_SCHEMA = T.StructType(
 
 
 def build_docs_df(source: DataFrame, profile: str = "ascii",
-                  n_buckets: int = 64, doc_id_offset: int = 0) -> DataFrame:
-    """webtext → docs with text, tokens-derived doc_len, dense doc_id."""
+                  n_buckets: int = 64, doc_id_offset: int = 0,
+                  id_col: str | None = None) -> DataFrame:
+    """webtext → docs with text, tokens-derived doc_len, dense doc_id.
+
+    ``id_col``: use an existing unique int64 column as doc_id instead of
+    assigning one (sparse ids are fine — the doclens sidecar densifies per
+    segment); default assigns deterministic dense ids from url rank."""
     cols = set(source.columns)
     df = source
     if "text" not in cols:
         df = df.withColumn("text", extract_text("html"))
     df = df.withColumn("doc_len", F.size(tokenize_col("text", profile)))
     keep = [c for c in ("url", "warc_ts", "lang", "text", "doc_len") if c in cols or c in ("text", "doc_len")]
+    if id_col:
+        return df.select(F.col(id_col).cast("long").alias("doc_id"), *keep)
     df = df.select(*keep)
     return assign_doc_ids(df, "url", n_buckets=n_buckets, offset=doc_id_offset).drop("_bucket")
 
@@ -212,7 +219,7 @@ def _assemble_doclens(pdf: pd.DataFrame) -> pd.DataFrame:
     dense = np.zeros(int(ids[-1]) - start + 1, dtype=np.int64)
     dense[ids - start] = lens
     return pd.DataFrame(
-        [(seg, start, len(dense), int(lens.sum()), varbyte_encode(dense))],
+        [(seg, start, len(ids), int(lens.sum()), varbyte_encode(dense))],
         columns=["segment_id", "start_doc_id", "n_docs", "sum_len", "lens"],
     )
 
@@ -238,6 +245,7 @@ class IndexBuilder:
         term_buckets: int = DEFAULT_TERM_BUCKETS,
         id_buckets: int = 64,
         doc_id_offset: int = 0,
+        id_col: str | None = None,
     ):
         self.spark = spark
         self.dir = Path(index_dir)
@@ -250,6 +258,7 @@ class IndexBuilder:
         if doc_id_offset % docs_per_segment:
             raise ValueError("doc_id_offset must be a multiple of docs_per_segment")
         self.doc_id_offset = doc_id_offset
+        self.id_col = id_col
 
     def build(self, source: DataFrame, fingerprint_extra: object = None,
               force: bool = False) -> dict:
@@ -260,6 +269,7 @@ class IndexBuilder:
                 "term_buckets": self.term_buckets,
                 "id_buckets": self.id_buckets,
                 "doc_id_offset": self.doc_id_offset,
+                "id_col": self.id_col,
                 "source": fingerprint_extra,
                 "v": 1,
             }
@@ -267,7 +277,10 @@ class IndexBuilder:
         manifests = {}
 
         def docs_stage(tmp: str) -> dict:
-            docs = build_docs_df(source, self.profile, self.id_buckets, self.doc_id_offset)
+            docs = build_docs_df(
+                source, self.profile, self.id_buckets, self.doc_id_offset,
+                id_col=self.id_col,
+            )
             docs.write.mode("overwrite").parquet(tmp + "/data")
             return {}
 

@@ -714,3 +714,91 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(semi, anti)], "with_orders long, without_orders long"
     )
+
+
+# --------------------------------------------------------------------------
+# The REAL index path under the driver's oracle: build (X3-X5) + block-max
+# top-k search (X7-X9) over the documents table, checked against the same
+# DuckDB BM25 SQL as the naive scorer.
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import tempfile as _tempfile
+from pathlib import Path as _Path
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per machine) a real inverted index over the
+    documents table, keeping its doc_id column as the index doc_id."""
+    from .plans.index_build import IndexBuilder
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = _Path(_tempfile.gettempdir()) / f"aecs_docidx_{key}"
+    builder = IndexBuilder(
+        spark, str(d), docs_per_segment=4096, term_buckets=8, id_col="doc_id"
+    )
+    builder.build(_docs(spark, sf_dir), fingerprint_extra={"sf": sf_dir})
+    return str(d)
+
+
+@register(
+    "fulltext_index_topk",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('hash', 'scan', 'shuffle')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.doc_id AS doc_id,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3-X9 end-to-end: compressed block-max index build + MaxScore/WAND
+    search — the engine's real query path, not the naive scorer."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for(spark, sf_dir)
+    return IndexReader(spark, idx).search("hash scan shuffle", k=10)
+
+
+@register(
+    "fulltext_index_single_term",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term = 'window'
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.doc_id AS doc_id,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_index_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 impact-ordered early-termination path under the oracle."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for(spark, sf_dir)
+    return IndexReader(spark, idx).search("window", k=10)
