@@ -307,18 +307,29 @@ class IndexBuilder:
 
         def stats_stage(tmp: str) -> dict:
             # N/avgdl fold out of the doclens sidecar (a few rows per
-            # segment) — no extra full scan of the docs table
-            row = (
-                self.spark.read.parquet(str(self.dir / "doclens/data"))
-                .agg(F.sum("n_docs").alias("N"), F.sum("sum_len").alias("S"))
-                .collect()[0]
+            # segment). Driver-local pyarrow on the already-committed
+            # sidecar: two Spark jobs for a 5-row aggregate cost seconds
+            # of scheduler overhead that this stage doesn't need.
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(str(self.dir / "doclens/data"), format="parquet").to_table(
+                columns=["n_docs", "sum_len"]
             )
-            N, avgdl = int(row["N"]), float(row["S"]) / int(row["N"])
-            stats = self.spark.createDataFrame(
-                [(N, avgdl, self.dps, self.term_buckets, self.profile)],
-                "N long, avgdl double, docs_per_segment long, term_buckets int, profile string",
+            N = int(pc.sum(tbl["n_docs"]).as_py())
+            avgdl = float(pc.sum(tbl["sum_len"]).as_py()) / N
+            import pyarrow.parquet as pq
+
+            out = pa.table(
+                {
+                    "N": pa.array([N], pa.int64()),
+                    "avgdl": pa.array([avgdl], pa.float64()),
+                    "docs_per_segment": pa.array([self.dps], pa.int64()),
+                    "term_buckets": pa.array([self.term_buckets], pa.int32()),
+                    "profile": pa.array([self.profile], pa.string()),
+                }
             )
-            stats.coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
+            Path(tmp, "data").mkdir(parents=True)
+            pq.write_table(out, str(Path(tmp, "data", "part-00000.parquet")))
             return {"N": N, "avgdl": avgdl}
 
         manifests["stats"] = run_stage("stats", self.dir / "stats", fp, stats_stage, force)
