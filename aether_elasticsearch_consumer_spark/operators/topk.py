@@ -232,7 +232,7 @@ class IndexReader:
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Top-k BM25 → DataFrame(doc_id, score) globally ordered."""
         terms = sorted(set(tokenize_py(query, self.profile)))
-        if not terms:
+        if not terms or k < 1:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         buckets = self._buckets_for(terms)
         bucket_pred = F.col("term_bucket").isin(

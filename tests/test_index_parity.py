@@ -131,3 +131,30 @@ def test_resume_skips_completed_stages(spark, index_dir):
     manifests = b.build(src, fingerprint_extra={"n": N_DOCS})
     # elapsed recorded at first build; identical manifest returned on resume
     assert all("fingerprint" in m for m in manifests.values())
+
+
+def test_edge_k_values(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    assert reader.search("the", k=0).count() == 0
+    assert reader.search("the", k=-3).count() == 0
+    assert reader.search("the", k=1).count() == 1
+    # k far beyond corpus: returns all matching docs, still ordered
+    big = reader.search("keta", k=10**6).collect()
+    assert all(
+        big[i]["score"] >= big[i + 1]["score"] for i in range(len(big) - 1)
+    )
+
+
+def test_empty_text_docs_indexable(spark, tmp_path):
+    src = spark.createDataFrame(
+        [("https://x/1", "hello world"), ("https://x/2", ""), ("https://x/3", "!!!")],
+        "url string, text string",
+    )
+    d = str(tmp_path / "edge_idx")
+    IndexBuilder(spark, d, docs_per_segment=4, term_buckets=2).build(
+        src, fingerprint_extra="edge"
+    )
+    reader = IndexReader(spark, d)
+    assert reader.N == 3
+    hits = reader.search("hello", k=10).collect()
+    assert len(hits) == 1
