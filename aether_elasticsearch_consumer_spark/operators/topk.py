@@ -147,7 +147,10 @@ def _score_segment(
     remaining = sum(t[2] for t in by_sigma)
     contribs: list[tuple[str, np.ndarray, np.ndarray]] = []
     for t, idf, sigma, blocks in by_sigma:
-        or_phase = remaining >= threshold or not np.isfinite(threshold)
+        # 1e-9 margin mirrors the single-term path: a doc may only be
+        # treated as non-viable when its upper bound clears the running
+        # k-th score even after the 9-decimal ranking round
+        or_phase = remaining >= threshold - 1e-9 or not np.isfinite(threshold)
         remaining -= sigma
         pos_parts, sc_parts = [], []
         for blk in blocks:
