@@ -1,0 +1,67 @@
+"""Direct micro-tests of the Arrow posting assembly (X3-X5 edge cases):
+single-token groups, exact block boundaries, tf run-length counting,
+delta restart at block starts, exact block-max impacts."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from aether_elasticsearch_consumer_spark.functions.codec import decode_block
+from aether_elasticsearch_consumer_spark.plans.index_build import (
+    DL_BITS,
+    _assemble_postings_arrow,
+)
+
+
+def mk(rows):
+    return pa.table(
+        {
+            "packed": pa.array([(d << DL_BITS) | l for d, l, _ in rows], pa.int64()),
+            "term": pa.array([t for _, _, t in rows]),
+            "term_bucket": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+
+
+def test_single_token_group():
+    out = _assemble_postings_arrow(mk([(5, 10, "alpha")]), avgdl=10.0, dps=8192)
+    assert out.num_rows == 1
+    ids, tfs = decode_block(out["doc_deltas"][0].as_py(), out["tfs"][0].as_py())
+    assert list(ids) == [5] and list(tfs) == [1]
+
+
+def test_exact_block_boundaries():
+    rows = [(i, 10, "b") for i in range(128)] + [(i, 10, "c") for i in range(129)]
+    out = _assemble_postings_arrow(mk(rows), avgdl=10.0, dps=8192)
+    d = {}
+    for i in range(out.num_rows):
+        t = out["term"][i].as_py()
+        d.setdefault(t, []).append(
+            (out["block_no"][i].as_py(), out["count"][i].as_py(),
+             out["first_doc_id"][i].as_py(), out["last_doc_id"][i].as_py())
+        )
+    assert d["b"] == [(0, 128, 0, 127)]
+    assert sorted(d["c"]) == [(0, 128, 0, 127), (1, 1, 128, 128)]
+
+
+def test_tf_runlength_and_exact_blockmax():
+    rows = [(1, 5, "x"), (1, 5, "x"), (2, 5, "x"), (1, 5, "y")]
+    out = _assemble_postings_arrow(mk(rows), avgdl=5.0, dps=8192)
+    got = {out["term"][i].as_py(): out["df_seg"][i].as_py() for i in range(out.num_rows)}
+    assert got == {"x": 2, "y": 1}
+    for i in range(out.num_rows):
+        ids, tfs = decode_block(out["doc_deltas"][i].as_py(), out["tfs"][i].as_py())
+        if out["term"][i].as_py() == "x":
+            assert list(ids) == [1, 2] and list(tfs) == [2, 1]
+            # tf=2, dl=5, avgdl=5 → 2/(2 + 1.2·(0.25+0.75)) = 0.625 exact
+            assert abs(out["max_impact"][i].as_py() - 0.625) < 1e-12
+
+
+def test_delta_restart_per_block():
+    rows = [(i * 3, 10, "z") for i in range(300)]
+    out = _assemble_postings_arrow(mk(rows), avgdl=10.0, dps=8192)
+    all_ids = []
+    for i in range(out.num_rows):
+        ids, _ = decode_block(out["doc_deltas"][i].as_py(), out["tfs"][i].as_py())
+        all_ids.extend(ids)
+    assert all_ids == [i * 3 for i in range(300)]
