@@ -51,6 +51,37 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+def _decode_blocks_batch(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in one shot → (doc_ids, tfs).
+
+    Per-block Python loops cost ~1 ms/block, which dominates latency for
+    mid-frequency terms (thousands of blocks). Here the concatenated
+    varbyte streams decode in one vectorized call each, and the per-block
+    delta cumsum runs as a single 2D row-cumsum over a padded
+    (n_blocks × max_count) matrix."""
+    n = len(blocks)
+    counts = np.fromiter((b["count"] for b in blocks), dtype=np.int64, count=n)
+    doc_buf = b"".join(b["doc_deltas"] for b in blocks)
+    tf_buf = b"".join(b["tfs"] for b in blocks)
+    vals = varbyte_decode(doc_buf).astype(np.int64)
+    tfs = varbyte_decode(tf_buf).astype(np.int64) + 1
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    width = int(counts.max())
+    # scatter gap+1 values into a padded matrix, zero the first column,
+    # row-cumsum, then add each block's absolute first doc id
+    w = vals + 1
+    w[starts] = 0
+    rows = np.repeat(np.arange(n), counts)
+    cols = np.arange(len(vals)) - starts[rows]
+    mat = np.zeros((n, width), dtype=np.int64)
+    mat[rows, cols] = w
+    ids2d = np.cumsum(mat, axis=1) + np.fromiter(
+        (b["first_doc_id"] for b in blocks), dtype=np.int64, count=n
+    )[:, None]
+    return ids2d[rows, cols], tfs
+
+
 def _score_segment(
     pdf: pd.DataFrame,
     N: int,
@@ -68,15 +99,17 @@ def _score_segment(
 
     terms = []
     for t, grp in pdf.sort_values(["term", "block_no"]).groupby("term", sort=True):
+        # NB: not itertuples() — a column named 'count' collides with the
+        # namedtuple method and gets positionally renamed
         blocks = [
             {
-                "first_doc_id": int(r.first_doc_id),
-                "last_doc_id": int(r.last_doc_id),
-                "max_impact": float(r.max_impact),
-                "doc_deltas": r.doc_deltas,
-                "tfs": r.tfs,
+                "first_doc_id": int(f), "last_doc_id": int(l), "count": int(c),
+                "max_impact": float(m), "doc_deltas": dd, "tfs": tf,
             }
-            for r in grp.itertuples()
+            for f, l, c, m, dd, tf in zip(
+                grp["first_doc_id"], grp["last_doc_id"], grp["count"],
+                grp["max_impact"], grp["doc_deltas"], grp["tfs"],
+            )
         ]
         idf = float(idf_np(N, float(grp["df"].iloc[0])))
         sigma = idf * max(blk["max_impact"] for blk in blocks)
@@ -94,13 +127,15 @@ def _score_segment(
         kth = -np.inf
         n_cand = 0
         best = np.empty(0, dtype=np.float64)  # rolling top-k score pool
-        for blk in ordered:
+        CHUNK = 256  # blocks per batch decode: amortizes numpy call costs
+        for cs in range(0, len(ordered), CHUNK):
+            chunk = ordered[cs : cs + CHUNK]
             # 1e-9 margin: scores are rounded to 9 decimals before ranking,
             # so a skipped posting must be strictly below kth even after
             # rounding, or it could displace the k-th by doc_id tie-break
-            if n_cand >= k and idf * blk["max_impact"] < kth - 1e-9:
+            if n_cand >= k and idf * chunk[0]["max_impact"] < kth - 1e-9:
                 break
-            ids, tfs_ = decode_block(blk["doc_deltas"], blk["tfs"])
+            ids, tfs_ = _decode_blocks_batch(chunk)
             pos = ids - start
             tf = tfs_.astype(np.float64)
             dl = lens_arr[pos]
@@ -109,7 +144,7 @@ def _score_segment(
             sc_parts.append(sc)
             n_cand += len(pos)
             best = np.concatenate([best, sc])
-            if len(best) > 4 * k:
+            if len(best) > max(4 * k, 1024):
                 best = best[np.argpartition(-best, k - 1)[:k]]
             if len(best) >= k:
                 kth = float(np.partition(best, -k)[-k])
@@ -127,13 +162,18 @@ def _score_segment(
             {"doc_id": (cand + start).astype(np.int64), "score": scores}
         )
 
-    # accumulator over the segment's dense doc range
+    # accumulator over the segment's dense doc range; acc_run tracks
+    # partial sums in σ-processing order purely to tighten the pruning
+    # threshold (final output re-accumulates in term-asc order for the
+    # determinism contract) — partial sums of nonnegative contributions
+    # are a valid lower bound of the final k-th score
     acc = np.zeros(len(lens_arr), dtype=np.float64)
+    acc_run = np.zeros(len(lens_arr), dtype=np.float64)
     seen = np.zeros(len(lens_arr), dtype=bool)
     threshold = -np.inf
 
-    def block_scores(blk, idf):
-        ids, tfs = decode_block(blk["doc_deltas"], blk["tfs"])
+    def score_blocks(blks, idf):
+        ids, tfs = _decode_blocks_batch(blks)
         pos = ids - start
         tf = tfs.astype(np.float64)
         dl = lens_arr[pos]
@@ -152,31 +192,32 @@ def _score_segment(
         # k-th score even after the 9-decimal ranking round
         or_phase = remaining >= threshold - 1e-9 or not np.isfinite(threshold)
         remaining -= sigma
-        pos_parts, sc_parts = [], []
-        for blk in blocks:
-            if not or_phase:
-                # AND phase: only docs already seen can still make top-k;
-                # skip blocks with no seen candidate in range (block-max
-                # doc-range skipping) or bound below any possible lift
-                lo, hi = blk["first_doc_id"] - start, blk["last_doc_id"] - start
-                if not seen[lo : hi + 1].any():
-                    continue
-            p, s = block_scores(blk, idf)
-            if not or_phase:
-                m = seen[p]
-                p, s = p[m], s[m]
-                if len(p) == 0:
-                    continue
-            pos_parts.append(p)
-            sc_parts.append(s)
-        if pos_parts:
-            p = np.concatenate(pos_parts)
-            s = np.concatenate(sc_parts)
+        if or_phase:
+            todo = blocks
+        else:
+            # AND phase: only docs already seen can still make top-k —
+            # block-range skipping before any decode happens
+            todo = [
+                blk
+                for blk in blocks
+                if seen[blk["first_doc_id"] - start : blk["last_doc_id"] - start + 1].any()
+            ]
+        if not todo:
+            continue
+        p, s = score_blocks(todo, idf)
+        if not or_phase:
+            m = seen[p]
+            p, s = p[m], s[m]
+        if len(p):
             seen[p] = True
             contribs.append((t, p, s))
-            # cheap running threshold estimate from this term alone
-            if len(s) >= k:
-                threshold = max(threshold, float(np.partition(s, -k)[-k]))
+            # tighten θ from the exact partial sums accumulated so far
+            acc_run[p] += s
+            cand_now = np.flatnonzero(seen)
+            if len(cand_now) >= k:
+                threshold = float(
+                    np.partition(acc_run[cand_now], -k)[-k]
+                )
 
     if not contribs:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),

@@ -90,7 +90,9 @@ def main():
     per_query["index_build"] = round(build_sec, 3)
 
     reader = IndexReader(spark, str(work / "index"))
-    reader.search("warmup query", k=10).collect()  # codegen/JIT warmup
+    # warmup must hit a REAL term — an absent term short-circuits before
+    # the scorer, leaving python-worker/codegen init on the first query
+    reader.search("the", k=10).collect()
     lat = []
     for q in queries_set()[:N_LATENCY_QUERIES]:
         t0 = time.time()
