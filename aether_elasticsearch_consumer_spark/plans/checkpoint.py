@@ -63,12 +63,42 @@ def run_stage(
     tmp.mkdir(parents=True)
     t0 = time.time()
     extra = fn(str(tmp)) or {}
+    lineage = _parquet_lineage(tmp)
     os.rename(tmp, out)
     manifest = {
         "stage": name,
         "fingerprint": fingerprint,
         "elapsed_sec": round(time.time() - t0, 3),
+        **lineage,
         **extra,
     }
     (out / MANIFEST).write_text(json.dumps(manifest, indent=2, default=str))
     return manifest
+
+
+def _parquet_lineage(stage_dir: Path) -> dict:
+    """Per-partition lineage: every parquet file the stage produced with
+    its row count and byte size, read from footers (no Spark job). A
+    resumed or re-run stage can be audited file-by-file against this."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return {}
+    files = sorted(stage_dir.rglob("*.parquet"))
+    if not files:
+        return {}
+    parts = {}
+    total_rows = 0
+    for f in files:
+        try:
+            rows = pq.read_metadata(f).num_rows
+        except Exception:
+            continue
+        rel = str(f.relative_to(stage_dir))
+        parts[rel] = {"rows": rows, "bytes": f.stat().st_size}
+        total_rows += rows
+    return {
+        "rows": total_rows,
+        "n_files": len(parts),
+        "partitions": parts,
+    }
