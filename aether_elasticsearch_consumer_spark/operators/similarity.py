@@ -33,6 +33,19 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
+def _select_topk_ids(ids: np.ndarray, cos: np.ndarray, k: int):
+    """k best by (cosine desc, id asc) over ROUNDED cosines, keeping every
+    row tied at the k-th boundary before the composite sort — argpartition
+    on raw floats can drop the lowest-id member of a 6-dp tie and diverge
+    from the (cosine DESC, vec_id ASC) oracle ordering."""
+    if len(ids) > k:
+        kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+        keep = cos >= kth
+        ids, cos = ids[keep], cos[keep]
+    order = np.lexsort((ids, -cos))
+    return ids[order][:k], cos[order][:k]
+
+
 def _cosine_batch(ids, mat, q):
     qn = q / np.linalg.norm(q)
     norms = np.linalg.norm(mat, axis=1)
@@ -58,18 +71,15 @@ def brute_force_topk(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             _, cos = _cosine_batch(ids, mat, q)
-            if len(ids) > k:
-                top = np.argpartition(-cos, k - 1)[:k]
-                ids, cos = ids[top], cos[top]
+            # round BEFORE trimming: the ranking contract is on 6-dp values
+            ids, cos = _select_topk_ids(ids, np.round(cos, 6), k)
             best_ids.append(ids)
             best_sc.append(cos)
         if not best_ids:
             return
         ids = np.concatenate(best_ids)
-        cos = np.round(np.concatenate(best_sc), 6)
-        if len(ids) > k:
-            top = np.argpartition(-cos, k - 1)[:k]
-            ids, cos = ids[top], cos[top]
+        cos = np.concatenate(best_sc)
+        ids, cos = _select_topk_ids(ids, cos, k)
         yield pd.DataFrame({"vec_id": ids, "cosine": cos})
 
     per_part = df.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)

@@ -82,6 +82,22 @@ def _decode_blocks_batch(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     return ids2d[rows, cols], tfs
 
 
+def _select_topk(
+    cand: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k best by (score desc, id asc) with exact tie handling at the k-th
+    boundary: argpartition alone keeps an arbitrary subset of rows whose
+    rounded scores tie at position k, which can drop the lowest-id member
+    and break the determinism contract. Partition, then widen the cut to
+    every row tied with the k-th score before the composite lexsort."""
+    if len(cand) > k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= kth
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))
+    return cand[order][:k], scores[order][:k]
+
+
 def _score_segment(
     pdf: pd.DataFrame,
     N: int,
@@ -89,11 +105,18 @@ def _score_segment(
     k: int,
     k1: float = K1,
     b: float = BM25_B,
+    bound_scale: float = 1.0,
 ) -> pd.DataFrame:
     """Score one segment's query-term posting rows. ``pdf`` has one row per
     posting block: term, df, block_no, first/last_doc_id, max_impact,
     doc_deltas, tfs, plus the segment sidecar lens/start_doc_id.
-    Vectorized block-max MaxScore."""
+    Vectorized block-max MaxScore.
+
+    ``bound_scale``: stored max_impacts were computed against the BUILD
+    avgdl; after a segment merge the query avgdl can be larger, growing
+    true impacts past the stored bound. Scaling bounds by
+    max(1, avgdl/build_avgdl) (the worst-case impact ratio, reached as
+    dl→∞) keeps pruning exact. Bounds only — never scores."""
     lens_arr = varbyte_decode(pdf["lens"].iloc[0]).astype(np.float64)
     start = int(pdf["start_doc_id"].iloc[0])
 
@@ -104,7 +127,7 @@ def _score_segment(
         blocks = [
             {
                 "first_doc_id": int(f), "last_doc_id": int(l), "count": int(c),
-                "max_impact": float(m), "doc_deltas": dd, "tfs": tf,
+                "max_impact": float(m) * bound_scale, "doc_deltas": dd, "tfs": tf,
             }
             for f, l, c, m, dd, tf in zip(
                 grp["first_doc_id"], grp["last_doc_id"], grp["count"],
@@ -153,11 +176,7 @@ def _score_segment(
                                  "score": pd.Series(dtype="float64")})
         cand = np.concatenate(pos_parts)
         scores = np.round(np.concatenate(sc_parts), 9)
-        if len(cand) > k:
-            top = np.argpartition(-scores, k - 1)[:k]
-            cand, scores = cand[top], scores[top]
-        order = np.lexsort((cand, -scores))
-        cand, scores = cand[order], scores[order]
+        cand, scores = _select_topk(cand, scores, k)
         return pd.DataFrame(
             {"doc_id": (cand + start).astype(np.int64), "score": scores}
         )
@@ -226,12 +245,7 @@ def _score_segment(
         acc[p] += s
     cand = np.flatnonzero(seen)
     scores = np.round(acc[cand], 9)
-    if len(cand) > k:
-        # bounded selection: k best by (score desc, doc_id asc)
-        top = np.argpartition(-scores, k - 1)[:k]
-        cand, scores = cand[top], scores[top]
-    order = np.lexsort((cand, -scores))
-    cand, scores = cand[order], scores[order]
+    cand, scores = _select_topk(cand, scores, k)
     return pd.DataFrame({"doc_id": (cand + start).astype(np.int64), "score": scores})
 
 
@@ -250,6 +264,13 @@ class IndexReader:
         st = spark.read.parquet(str(self.dir / "stats/data")).collect()[0]
         self.N = int(st["N"])
         self.avgdl = float(st["avgdl"])
+        build_avgdl = (
+            float(st["build_avgdl"]) if "build_avgdl" in st.__fields__
+            else self.avgdl
+        )
+        # conservative block-bound inflation for merged indexes (see
+        # _score_segment); exactly 1.0 for a freshly-built index
+        self.bound_scale = max(1.0, self.avgdl / build_avgdl)
         self.term_buckets = int(st["term_buckets"])
         self.profile = st["profile"]
         self._postings = spark.read.parquet(str(self.dir / "postings/data"))
@@ -288,13 +309,21 @@ class IndexReader:
         # terms); doclens joins on segment_id — AQE broadcasts the filtered
         # postings side at runtime when small, shuffle-joins when a head
         # term's postings are genuinely large. Correct at 10^12 scale.
-        joined = postings.join(F.broadcast(stats), "term").join(
-            self._doclens, "segment_id"
+        # prune doclens to segments that actually hold query-term postings
+        # before the join — at 10^12 docs the sidecar is ~10^8 rows, while
+        # the pruned segment list is tiny (broadcast semi-join, no shuffle)
+        doclens = self._doclens.join(
+            F.broadcast(postings.select("segment_id").distinct()),
+            "segment_id",
+            "left_semi",
         )
-        N, avgdl = self.N, self.avgdl
+        joined = postings.join(F.broadcast(stats), "term").join(
+            doclens, "segment_id"
+        )
+        N, avgdl, bscale = self.N, self.avgdl, self.bound_scale
 
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_segment(pdf, N, avgdl, k)
+            return _score_segment(pdf, N, avgdl, k, bound_scale=bscale)
 
         per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

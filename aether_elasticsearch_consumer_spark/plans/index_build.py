@@ -271,7 +271,7 @@ class IndexBuilder:
                 "doc_id_offset": self.doc_id_offset,
                 "id_col": self.id_col,
                 "source": fingerprint_extra,
-                "v": 1,
+                "v": 2,  # v2: stats carry build_avgdl
             }
         )
         manifests = {}
@@ -323,6 +323,11 @@ class IndexBuilder:
                 {
                     "N": pa.array([N], pa.int64()),
                     "avgdl": pa.array([avgdl], pa.float64()),
+                    # the avgdl the block max_impacts were computed against;
+                    # a merge keeps the MIN over its inputs so the reader can
+                    # inflate stored bounds by avgdl/build_avgdl (worst-case
+                    # impact ratio as dl→∞) and stay exact after merges
+                    "build_avgdl": pa.array([avgdl], pa.float64()),
                     "docs_per_segment": pa.array([self.dps], pa.int64()),
                     "term_buckets": pa.array([self.term_buckets], pa.int32()),
                     "profile": pa.array([self.profile], pa.string()),

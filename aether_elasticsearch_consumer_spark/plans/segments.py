@@ -46,9 +46,13 @@ def merge_indexes(
     """
     base, delta, out = Path(base_dir), Path(delta_dir), Path(out_dir)
     sb, sd = _read_stats(spark, base), _read_stats(spark, delta)
-    if sb["docs_per_segment"] != sd["docs_per_segment"] or sb["term_buckets"] != sd["term_buckets"]:
+    if (
+        sb["docs_per_segment"] != sd["docs_per_segment"]
+        or sb["term_buckets"] != sd["term_buckets"]
+        or sb["profile"] != sd["profile"]
+    ):
         raise ValueError("cannot merge indexes with different layouts")
-    fp = content_hash({"base": str(base), "delta": str(delta), "v": 1})
+    fp = content_hash({"base": str(base), "delta": str(delta), "v": 2})
     manifests = {}
 
     def union_stage(name: str):
@@ -90,11 +94,22 @@ def merge_indexes(
         avgdl = (
             float(sb["avgdl"]) * int(sb["N"]) + float(sd["avgdl"]) * int(sd["N"])
         ) / n
+        # each side's block max_impacts were computed against ITS build
+        # avgdl; the merged reader prunes against the merged avgdl, which
+        # can exceed either side's and make stored bounds underestimates.
+        # Keep the MIN build avgdl so the reader's bound inflation
+        # (avgdl / build_avgdl) stays conservative for every block.
+        def _bavg(row):
+            return float(row["build_avgdl"]) if "build_avgdl" in row.__fields__ else float(row["avgdl"])
+
+        build_avgdl = min(_bavg(sb), _bavg(sd))
         spark.createDataFrame(
-            [(n, avgdl, int(sb["docs_per_segment"]), int(sb["term_buckets"]), sb["profile"])],
-            "N long, avgdl double, docs_per_segment long, term_buckets int, profile string",
+            [(n, avgdl, build_avgdl, int(sb["docs_per_segment"]),
+              int(sb["term_buckets"]), sb["profile"])],
+            "N long, avgdl double, build_avgdl double, docs_per_segment long,"
+            " term_buckets int, profile string",
         ).coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
-        return {"N": n, "avgdl": avgdl}
+        return {"N": n, "avgdl": avgdl, "build_avgdl": build_avgdl}
 
     manifests["stats"] = run_stage("stats", out / "stats", fp, stats_stage, force)
     return manifests

@@ -480,8 +480,13 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (SELECT * FROM c ORDER BY cnt DESC, key ASC LIMIT 2)
     SELECT key, cnt FROM top
     UNION ALL
-    SELECT '__other__' AS key,
-           (SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top) AS cnt
+    -- ::BIGINT: DuckDB types the subquery difference as HUGEINT, which the
+    -- driver's typed value hash distinguishes from int64. Spark suppresses a
+    -- zero __other__ row, so the guard matches (visualization.py otherBucket).
+    SELECT * FROM (
+      SELECT '__other__' AS key,
+             ((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::BIGINT AS cnt
+    ) WHERE cnt > 0
     """,
 )
 def agg_terms_missing_other(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import functions as F
+
 from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
 from aether_elasticsearch_consumer_spark.session import get_spark
 
@@ -37,7 +39,11 @@ def main(argv=None):
         docs = spark.read.parquet(f"{args.index_dir}/docs/data").select(
             "doc_id", "url"
         )
-        hits = hits.join(docs, "doc_id").orderBy("score", ascending=False)
+        # preserve the engine's (score desc, doc_id asc) determinism
+        # contract across the url join
+        hits = hits.join(docs, "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
     rows = hits.collect()
     elapsed = time.time() - t0
     out = {

@@ -8,6 +8,7 @@ Usage: python scripts/selfcheck.py [sf_dir] [name_filter]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 from pathlib import Path
@@ -25,11 +26,36 @@ TABLES = [
 ]
 
 
+def arrow_types(cols: list[str], tbl) -> dict[str, str]:
+    """Canonical arrow type per column — the driver hashes TYPED values, so
+    a DuckDB decimal128 vs Spark int64 is a real mismatch even when the
+    stringified cells agree. String/large_string and timestamp units are
+    representation details, not value types."""
+    import pyarrow as pa
+
+    def canon(t: "pa.DataType") -> str:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_date(t):
+            return "date"
+        return str(t)
+
+    return {c: canon(tbl.schema.field(c).type) for c in cols}
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        # Spark's arrow export is tz-aware (session tz = UTC), DuckDB's is
+        # naive; both are the same instant — compare as naive UTC
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     return str(v)
 
 
@@ -55,16 +81,22 @@ def main():
             continue
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        stbl = sdf.toArrow()
+        srows = [tuple(row[c] for c in scols) for row in stbl.to_pylist()]
         if name not in oracles:
             print(f"  {name}: rows-only check — {len(srows)} rows")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        otbl = con.execute(oracles[name]).fetch_arrow_table()
+        ocols = otbl.schema.names
+        orows = [tuple(row[c] for c in ocols) for row in otbl.to_pylist()]
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            st, ot = arrow_types(scols, stbl), arrow_types(ocols, otbl)
+            bad = {c: (st[c], ot[c]) for c in scols if st[c] != ot[c]}
+            if bad:
+                problems.append(f"arrow types: {bad}")
         if len(srows) != len(orows):
             problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
         if not problems and rows_key(scols, srows) != rows_key(ocols, orows):
