@@ -16,7 +16,8 @@ from aether_elasticsearch_consumer_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: exhaustive BM25 top-10 on sf0.001 documents."""
+    """Flagship query: BM25 top-10 on sf0.001 documents through the real
+    engine path (compressed block-max inverted index + MaxScore top-k)."""
     return registry.queries()["fulltext_bm25_topk"](spark, "/root/testdata/sf0.001")
 
 

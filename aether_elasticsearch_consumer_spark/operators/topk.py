@@ -328,6 +328,57 @@ class IndexReader:
         per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def match_docs(self, query: str, mode: str = "and") -> DataFrame:
+        """Unscored boolean term query (X7/X10) straight off the postings:
+        doc ids containing ALL (``mode="and"``) or ANY (``mode="or"``) of
+        the analyzed query terms — no tokenize-the-corpus scan, no scoring.
+
+        Same pruned read as ``search``: term-bucket directory pruning +
+        row-group min/max on term; set algebra runs per segment (a doc's
+        postings for every term live in one segment by construction, so
+        intersection/union never crosses segments)."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        terms = sorted(set(tokenize_py(query, self.profile)))
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        buckets = self._buckets_for(terms)
+        postings = self._postings.where(
+            F.col("term_bucket").isin(list(set(buckets.values())))
+            & F.col("term").isin(terms)
+        )
+        n_terms = len(terms)
+        conj = mode == "and"
+
+        def collect_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_term: list[np.ndarray] = []
+            for _, grp in pdf.groupby("term", sort=True):
+                blocks = [
+                    {"first_doc_id": int(f), "count": int(c),
+                     "doc_deltas": dd, "tfs": tf}
+                    for f, c, dd, tf in zip(
+                        grp["first_doc_id"], grp["count"],
+                        grp["doc_deltas"], grp["tfs"],
+                    )
+                ]
+                ids, _ = _decode_blocks_batch(blocks)
+                per_term.append(ids)
+            if conj:
+                # a segment missing any query term can't satisfy AND
+                if len(per_term) < n_terms:
+                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                acc = per_term[0]
+                for ids in per_term[1:]:
+                    acc = np.intersect1d(acc, ids, assume_unique=True)
+            else:
+                acc = np.unique(np.concatenate(per_term))
+            return pd.DataFrame({"doc_id": acc.astype(np.int64)})
+
+        return postings.groupBy("segment_id").applyInPandas(
+            collect_ids, out_schema
+        )
+
 
 def naive_bm25_topk(
     docs: DataFrame, query: str, k: int = 10, profile: str = "ascii",
