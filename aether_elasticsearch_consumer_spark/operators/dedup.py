@@ -59,11 +59,21 @@ def shingle_hashes(
     """Word n-gram shingles, all Column ops: tokenize → sliding window via
     transform(sequence) → (optionally) xxhash64 folded to 31 bits.
     hashed=False keeps raw gram strings (SQL-oracle-comparable); hashed=True
-    is the scale path (fixed-width ints shuffle ~5× lighter than strings)."""
-    toks = tokenize_col(text, profile)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    is the scale path (fixed-width ints shuffle ~5× lighter than strings).
+
+    The token array is BOUND as a lambda variable before the sliding
+    window runs: a free tokenize expression inside a higher-order-function
+    lambda re-evaluates per element (O(tokens²) regex work per row —
+    measured 40× slower on 54-token docs)."""
+
+    def grams_of(ts: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i + 1, n)))
+
+    # transform over a 1-element array evaluates tokenize ONCE and exposes
+    # the result as a bound variable for the nested lambda
+    grams = F.element_at(
+        F.transform(F.array(tokenize_col(text, profile)), grams_of), 1
     )
     if not hashed:
         return F.array_distinct(grams)
@@ -93,32 +103,103 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def minhash_signature_arrow(n_hashes: int = 64, seed: int = 42):
+    """Vectorized Arrow twin of :func:`minhash_signature` — bit-identical
+    output (same universal-hash coefficients, int64 arithmetic, sentinel p
+    for empty docs; parity pinned by tests/test_dedup_similarity.py).
+
+    The Column version interprets n_hashes higher-order-function lambdas
+    per row (~n_hashes × grams lambda evals); here the whole batch's gram
+    hashes flatten once and (a·x+b) mod p runs as one (G × n_hashes)
+    numpy broadcast with a segment-min reduceat."""
+    coeffs = _minhash_coeffs(n_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(shi: pd.Series) -> pd.Series:
+        n = len(shi)
+        arrs = shi.to_numpy()
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n
+        )
+        out = np.full((n, len(A)), MERSENNE_P, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(arrs[i], dtype=np.int64) for i in nz]
+            )
+            # (G, H) universal hash — a,x < 2^31 so a·x+b stays in int64
+            vals = (flat[:, None] * A[None, :] + B[None, :]) % MERSENNE_P
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            out[nz] = np.minimum.reduceat(vals, starts, axis=0)
+        return pd.Series(list(out))
+
+    return sig_udf
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     profile: str = "ascii",
+    max_bucket_size: int | None = None,
+    hashed: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Stages: signature (narrow) → explode bands (×bands) → groupBy bucket
-    (shuffle on band hash — uniform by construction) → within-bucket pairs
-    → exact Jaccard verification on the shingle sets. Only docs sharing a
-    band bucket are ever paired, so worst case is bounded by bucket sizes,
-    not n²."""
-    rows = bands  # rows per band = n_hashes // bands
+    Stages: signature (narrow) → explode bands (×bands) → self-join on
+    (band, bucket) (shuffle on band hash — uniform by construction) →
+    candidate-id dedup → re-attach shingle sets by two id joins → exact
+    Jaccard verification. Only docs sharing a band bucket are ever paired,
+    so worst case is bounded by bucket sizes, not n².
+
+    Scale notes:
+    - band rows are (id, band, bucket) ONLY — the shingle arrays never
+      ride the ×bands explode through the shuffle (they re-attach to the
+      small deduped pair set afterwards);
+    - ``max_bucket_size``: a bucket of m near-identical docs still emits
+      m²/2 pairs; at corpus scale set a cap so degenerate buckets
+      (boilerplate pages) are skipped instead of strangling one task —
+      members of a skipped bucket still pair through their other bands.
+    - default 32 bands × 2 rows: candidate recall at jaccard j is
+      1-(1-j²)^32 (≥0.9999 at j=0.5), so verified output is in practice
+      the full jaccard_threshold pair set.
+    - ``hashed=False`` verifies Jaccard on RAW gram strings (exactly what a
+      SQL oracle computes — 31-bit hash-fold collisions can perturb the
+      6-dp jaccard); ``hashed=True`` is the scale path (fixed-width int
+      shingles join ~5× lighter). Signatures always use hashed shingles.
+    """
     r = n_hashes // bands
+    # the shingle table feeds three consumers (banding + two candidate
+    # re-attach joins); persist it so tokenize+shingle runs once — at
+    # corpus scale this is the materialized build artifact. The hashed
+    # int shingles ("shi", the minhash input) persist alongside the raw
+    # grams: computed inline they would re-evaluate the per-gram hash
+    # fold inside each of the n_hashes minhash expressions after project
+    # collapse.
+    grams = shingle_hashes(F.col(text_col), shingle_n, profile, hashed)
     base = df.select(
         F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), shingle_n, profile).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    banded = base.select(
+        grams.alias("sh"),
+        (
+            grams
+            if hashed
+            else F.transform(
+                grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
+            )
+        ).alias("shi"),
+    ).persist()
+    sig = base.select(
+        "id", minhash_signature_arrow(n_hashes)(F.col("shi")).alias("sig")
+    )
+    banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -132,7 +213,15 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -142,19 +231,19 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -301,22 +390,37 @@ def simhash_neardup_pairs(
 # -- embedding near-dup ------------------------------------------------------
 
 
+def _cosine_pair_cols(a: Column, b: Column) -> Column:
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    return dot(a, b) / (norm(a) * norm(b))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     block_col: str | None = None,
     threshold: float = 0.95,
+    allow_cartesian: bool = False,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs. With block_col: exact within blocks;
-    without: exact all-pairs (only for small corpora — the LSH variant in
-    operators/similarity.py is the unbounded-scale path)."""
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    """Exact cosine near-duplicate pairs within ``block_col`` blocks.
+
+    A blocking column is REQUIRED: without it the self-join is a cartesian
+    product — O(n²) rows that no cluster survives at corpus scale. For
+    unblocked input use :func:`embedding_neardup_lsh` (hyperplane-banded
+    candidate generation, never all-pairs). ``allow_cartesian=True`` is an
+    explicit escape hatch for tiny in-memory corpora/tests only."""
+    if block_col is None and not allow_cartesian:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col is a cartesian join; "
+            "pass block_col, or use embedding_neardup_lsh for unblocked "
+            "input (allow_cartesian=True overrides for tiny test corpora)"
+        )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -326,13 +430,100 @@ def embedding_neardup_pairs(
     on = [F.col("l.id") < F.col("r.id")]
     if block_col:
         on.append(F.col("l.blk") == F.col("r.blk"))
-    cos = dot(F.col("l.v"), F.col("r.v")) / (norm(F.col("l.v")) * norm(F.col("r.v")))
+    cos = _cosine_pair_cols(F.col("l.v"), F.col("r.v"))
     return (
         l.join(r, on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs WITHOUT a blocking column, at scale: random-
+    hyperplane signature → banded bucket join (same LSH shape as
+    minhash_lsh_pairs) → exact cosine verification of candidates only.
+
+    High-cosine pairs agree on most signature bits (P[bit differs] =
+    angle/π ≈ 0.10 at cos 0.95), so with ``bands`` bands of
+    ``n_planes/bands`` bits each the candidate recall is
+    1-(1-(1-θ/π)^r)^bands ≈ 0.9996 at cos≥0.95 with 8 bands × 2 bits.
+    Approximate by design (documented recall), never O(n²)."""
+    from .similarity import _planes
+
+    r = n_planes // bands
+
+    # signature bits as pure Column ops: sign of dot(v, plane_i)
+    def sig_bit(v: Column, plane: "list[float]") -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        return (dot >= 0).cast("int")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # plane dim = embedding dim (probe one row; arrays carry no static
+    # length in the schema) — planes are fully determined by (seed, dim)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(first[0]["d"]) if first else 0
+    planes = _planes(dim, n_planes, seed)
+    bits = [sig_bit(F.col("v"), planes[i].tolist()) for i in range(n_planes)]
+    banded = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *bits[b * r : (b + 1) * r]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "bb.band", "bb.bucket")
+    ids_only = banded.select("id", "band", "bucket")
+    l, r_ = ids_only.alias("l"), ids_only.alias("r")
+    cand = (
+        l.join(
+            r_,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+    cos = _cosine_pair_cols(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cos, 6).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

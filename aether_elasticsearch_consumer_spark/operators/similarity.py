@@ -4,15 +4,13 @@
   numpy matmul per batch (BLAS), partial top-k per partition, driver merge
   via orderBy.limit — the correctness baseline, O(N·d) scan fully
   distributed.
-- ``lsh_topk`` — random-hyperplane LSH: seeded plane matrix broadcast with
-  the closure, per-row signature via the same Arrow UDF path, candidates =
-  rows whose signature hamming-matches the query within ``max_hamming``
-  (multi-probe), exact re-rank of candidates only. The 100-TB path: the
-  scan prunes to a signature-bucket subset; signatures can be precomputed
-  and stored as a column.
-- ``ivf_topk`` — inverted-file variant: deterministic sampled centroids,
-  rows assigned to nearest centroid (precomputable); query probes the
-  ``nprobe`` nearest centroid lists only.
+- ``lsh_topk`` / ``ivf_topk`` — ONE-SHOT ad-hoc variants that prune
+  compute (fewer cosines) but still scan the corpus once: signatures /
+  assignments are computed on the fly. Useful for a single exploratory
+  query over data with no index. For repeated queries — and for anything
+  at corpus scale — use ``plans/ann_index.py`` (``LshAnnIndex`` /
+  ``IvfAnnIndex``): signatures/assignments are persisted at build time
+  and a query reads ONLY the matching partition directories.
 """
 
 from __future__ import annotations

@@ -341,13 +341,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"id_a": "id_a", "id_b": "id_b"})
 
 
-@register("dedup_minhash_lsh")  # rows-only: hashing not SQL-reproducible
+@register(
+    "dedup_minhash_lsh",
+    # Oracle = EXACT all-pairs 3-gram Jaccard at the same threshold. The
+    # LSH output is candidate-pruned + exactly verified; at 32 bands × 2
+    # rows candidate recall at j=0.5 is 1-(1-0.25)^32 ≈ 1-1e-4 per pair, so
+    # the verified pair set equals the exact set on the test corpora
+    # (asserted across sf dirs in tests/test_dedup_similarity.py).
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (verified Jaccard ≥ 0.5);
-    pytest proves parity vs exact Jaccard (tests/test_dedup_similarity.py)."""
+    """MinHash+LSH near-dup pairs (verified Jaccard ≥ 0.5). Verification
+    runs on raw gram strings (hashed=False) so the 6-dp jaccard matches
+    the SQL oracle bit-for-bit; the banded shuffle carries only
+    (id, band, bucket) rows either way."""
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        n_hashes=64, bands=16, jaccard_threshold=0.5,
+        n_hashes=64, bands=32, jaccard_threshold=0.5, hashed=False,
     )
 
 
@@ -464,12 +491,130 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, q, k=10)
 
 
-@register("similarity_lsh_topk")  # rows-only: approx by design
+def _lsh_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per machine) the persisted hyperplane-LSH
+    index over the embeddings table — the scale path: signatures are a
+    stored column, the table is partitioned by signature prefix, queries
+    read only the hamming-ball partition directories."""
+    from .plans.ann_index import LshAnnIndex
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = _Path(_tempfile.gettempdir()) / f"aecs_lshidx_{key}"
+    if not (d / "meta").exists():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        LshAnnIndex.build(
+            spark, emb, str(d), n_planes=16, prefix_bits=6, seed=42
+        )
+    return str(d)
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    from .plans.ann_index import IvfAnnIndex
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = _Path(_tempfile.gettempdir()) / f"aecs_ivfidx_{key}"
+    if not (d / "centroids").exists():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # centroid rule = embeddings of vec_id 0..15, reproducible by the
+        # SQL oracle (the xxhash64-sampled default rule is exercised in
+        # tests/test_ann_index.py)
+        IvfAnnIndex.build(spark, emb, str(d), centroid_ids=list(range(16)))
+    return str(d)
+
+
+def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42,
+                    max_hamming: int = 6, k: int = 10) -> str:
+    """DuckDB SQL that reproduces the hyperplane-LSH query EXACTLY,
+    approximation included: the plane matrix is fully determined by
+    (seed, dim), so its coefficients inline as literals; a row is a
+    candidate iff its 16-bit signature is within ``max_hamming`` of the
+    query's, and candidates rank by (6-dp cosine desc, vec_id asc)."""
+    from .operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+
+    def lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    qbits = ", ".join(
+        f"(CASE WHEN list_inner_product(qv, {lit(planes[i])}) >= 0"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN (CASE WHEN list_inner_product(ev, {lit(planes[i])}) >= 0"
+        f" THEN 1 ELSE 0 END) != qb[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+    ),
+    qs AS (SELECT qv, [{qbits}] AS qb FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, qs.qv, qs.qb
+      FROM embeddings e, qs
+    )
+    SELECT vec_id, round(list_cosine_similarity(ev, qv), 6) AS cosine
+    FROM cand
+    WHERE ({ham}) <= {max_hamming}
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@register("similarity_lsh_topk", _lsh_oracle_sql())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH pruned ANN (exact re-rank of candidates)."""
+    """Hyperplane-LSH ANN off the PERSISTED signature-partitioned index:
+    partition-pruned read of the hamming-ball directories + exact re-rank.
+    Never rescans or re-hashes the corpus at query time. The oracle
+    replays the same seed-deterministic planes in SQL, so the approximate
+    result is value-checked, not just row-counted."""
+    from .plans.ann_index import LshAnnIndex
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
-    return lsh_topk(emb, q, k=10, n_planes=12, max_hamming=5)
+    idx = LshAnnIndex(spark, _lsh_index_for(spark, sf_dir))
+    return idx.query(q, k=10, max_hamming=6)
+
+
+_IVF_ORACLE_SQL = """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+    ),
+    cents AS (
+      SELECT vec_id::INT AS list_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ),
+    probe AS (
+      SELECT list_id FROM cents, q
+      ORDER BY list_cosine_similarity(cv, qv) DESC, list_id ASC LIMIT 4
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+             (SELECT c.list_id FROM cents c
+              ORDER BY list_cosine_similarity(c.cv, e.embedding::DOUBLE[]) DESC,
+                       c.list_id ASC LIMIT 1) AS list_id
+      FROM embeddings e
+    )
+    SELECT a.vec_id, round(list_cosine_similarity(a.ev, q.qv), 6) AS cosine
+    FROM assign a, q
+    WHERE a.list_id IN (SELECT list_id FROM probe)
+    ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
+    """
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE_SQL)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN off the persisted list-partitioned index: probe the nprobe
+    nearest centroid lists only (partition-pruned read). The oracle
+    replays the same centroid rule (embeddings of vec_id 0..15), nearest-
+    centroid assignment, and 4-list probe in SQL."""
+    from .plans.ann_index import IvfAnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    idx = IvfAnnIndex(spark, _ivf_index_for(spark, sf_dir))
+    return idx.query(q, k=10, nprobe=4)
 
 
 @register(
@@ -514,14 +659,60 @@ def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram_agg(_events(spark, sf_dir), "ts", "day")
 
 
-@register("agg_geohash_grid")  # rows-only: geohash UDF not expressible in SQL
+@register(
+    "agg_geohash_grid",
+    # precision-2 geohash in pure SQL: 10 bits of interleaved bit bisection
+    # (lon first). The bisection midpoints are multiples of 11.25 / 5.625 —
+    # exact binary doubles — so floor((x - lo) / step) reproduces the
+    # comparison-ladder bits exactly, boundary ties included (x == mid →
+    # upper cell on both sides).
+    """
+    WITH coords AS (
+      SELECT (CASE WHEN value % 180.0 < 0 THEN value % 180.0 + 180.0
+                   ELSE value % 180.0 END) - 90 AS lat,
+             (CASE WHEN (value * 2) % 360.0 < 0 THEN (value * 2) % 360.0 + 360.0
+                   ELSE (value * 2) % 360.0 END) - 180 AS lon
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    bins AS (
+      SELECT lat, lon,
+             least(floor((lon + 180) / 11.25), 31)::INT AS lx,
+             least(floor((lat + 90) / 5.625), 31)::INT AS ly
+      FROM coords
+    ),
+    cells AS (
+      SELECT lat, lon,
+             substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               1 + ((lx // 16) % 2) * 16 + ((ly // 16) % 2) * 8
+                 + ((lx // 8) % 2) * 4 + ((ly // 8) % 2) * 2 + ((lx // 4) % 2),
+               1)
+             || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+               1 + ((ly // 4) % 2) * 16 + ((lx // 2) % 2) * 8
+                 + ((ly // 2) % 2) * 4 + (lx % 2) * 2 + (ly % 2),
+               1) AS cell
+      FROM bins
+    )
+    SELECT cell, count(*)::BIGINT AS cnt,
+           round(avg(lat), 6) AS centroid_lat,
+           round(avg(lon), 6) AS centroid_lon
+    FROM cells GROUP BY cell ORDER BY cnt DESC, cell ASC
+    """,
+)
 def agg_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 geohash_grid + centroid over synthetic coords derived from events."""
+    """A4 geohash_grid + centroid over synthetic coords derived from events.
+    Centroids rounded to 6 dp on both sides (float-sum order differs)."""
     ev = _events(spark, sf_dir).select(
         (F.pmod(F.col("value"), F.lit(180.0)) - 90).alias("lat"),
         (F.pmod(F.col("value") * 2, F.lit(360.0)) - 180).alias("lon"),
     )
-    return geohash_grid_agg(ev, "lat", "lon", precision=2)
+    g = geohash_grid_agg(ev, "lat", "lon", precision=2)
+    return g.select(
+        "cell",
+        "cnt",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"),
+    )
 
 
 @register(

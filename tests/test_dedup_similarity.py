@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aether_elasticsearch_consumer_spark.operators.dedup import (
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -57,6 +58,39 @@ def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     assert not any({a, b} & {4, 5} for a, b in got)
 
 
+def test_minhash_arrow_matches_column_spec(spark, sf001_dir):
+    # the vectorized Arrow signature must be bit-identical to the Column
+    # expression spec (same coefficients, int64 arithmetic, sentinel p)
+    from aether_elasticsearch_consumer_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_arrow,
+        shingle_hashes,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf001_dir}/documents.parquet")
+        .limit(200)
+        .select(
+            "doc_id",
+            shingle_hashes(F.col("text"), 3, "ascii", True).alias("shi"),
+        )
+        # an empty doc exercises the sentinel path
+        .union(
+            spark.createDataFrame(
+                [(10**9, [])], "doc_id long, shi array<long>"
+            )
+        )
+    )
+    both = d.select(
+        "doc_id",
+        minhash_signature(F.col("shi"), 64).alias("spec"),
+        minhash_signature_arrow(64)(F.col("shi")).alias("arrow"),
+    ).collect()
+    assert both
+    for r in both:
+        assert list(r["spec"]) == list(r["arrow"]), r["doc_id"]
+
+
 def test_ngram_jaccard_pairs(spark, dup_docs):
     d = dup_docs.withColumn("blk", F.lit(1))
     pairs = ngram_jaccard_pairs(d, "id", "text", ["blk"], threshold=0.5).collect()
@@ -82,8 +116,40 @@ def test_embedding_neardup(spark):
         (3, [0.0, 1.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "id long, v array<double>")
-    pairs = embedding_neardup_pairs(df, "id", "v", threshold=0.95).collect()
+    pairs = embedding_neardup_pairs(
+        df, "id", "v", threshold=0.95, allow_cartesian=True
+    ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_neardup_unblocked_rejected(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="cartesian"):
+        embedding_neardup_pairs(df, "id", "v")
+
+
+def test_embedding_neardup_blocked_no_cartesian(spark):
+    rows = [(1, [1.0, 0.0], "a"), (2, [0.99, 0.05], "a"), (3, [0.0, 1.0], "b")]
+    df = spark.createDataFrame(rows, "id long, v array<double>, blk string")
+    plan = embedding_neardup_pairs(df, "id", "v", block_col="blk")
+    assert "CartesianProduct" not in plan._jdf.queryExecution().executedPlan().toString()
+    assert [(r["id_a"], r["id_b"]) for r in plan.collect()] == [(1, 2)]
+
+
+def test_embedding_neardup_lsh(spark, sf001_dir):
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    lsh = embedding_neardup_lsh(emb, "vec_id", "embedding", threshold=0.9)
+    assert "CartesianProduct" not in lsh._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh.collect()}
+    exact = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, allow_cartesian=True
+    ).collect()
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    # candidate recall is probabilistic; on the fixture it should be total
+    # and every emitted pair is exactly verified
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert v == want[k]
 
 
 class TestSimilarity:
