@@ -112,30 +112,49 @@ DL_MASK = (1 << DL_BITS) - 1
 
 
 def _assemble_postings_arrow(
-    tbl: "pa.Table", avgdl: float, dps: int
+    tbl: "pa.Table", avgdl: float, dps: int,
+    code_dict: tuple[np.ndarray, np.ndarray] | None = None,
+    term_buckets: int | None = None,
 ) -> "pa.Table":
-    """One (segment_id, term_bucket) group of **token-level** rows
-    (term, doc_id, doc_len) → one output row per 128-posting block.
+    """A shuffle partition of **token-level** rows → one output row per
+    128-posting block. The partition may span MANY (segment, term_bucket)
+    groups: a term run breaks at every segment boundary, so block-max
+    metadata and delta encodings are always per-(segment, term) exactly as
+    the reader expects.
 
     Everything is vectorized end-to-end: terms dictionary-encode in Arrow
-    C++ (strings never become Python objects), tf counting is run-length
-    over the (term, doc) lexsort, per-block deltas build with a masked
-    where, and the whole group's doc/tf streams varbyte-encode in two
-    batch calls whose per-value byte lengths slice the buffer into block
-    payloads. The only per-block Python work is a bytes slice."""
-    tb = int(tbl["term_bucket"][0].as_py())
-    enc = pc.dictionary_encode(tbl["term"].combine_chunks())
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
+    C++ (strings never become Python objects), the whole partition sorts
+    with ONE numpy lexsort (this replaces Spark's per-row comparator sort
+    that groupBy().applyInArrow would insert — the dominant reduce-side
+    cost at width, see BENCH/BASELINE.md), tf counting is run-length over
+    the (term, doc) order, per-block deltas build with a masked where, and
+    the partition's doc/tf streams varbyte-encode in two batch calls whose
+    per-value byte lengths slice the buffer into block payloads. The only
+    per-block Python work is a bytes slice.
+
+    ``code_dict=(codes_sorted, terms_sorted)``: dictionary-coded mode —
+    rows carry an int64 ``code`` instead of the term string (the shuffle
+    never moves strings; bucket = code mod term_buckets), and per-block
+    term strings resolve at the end via one vectorized searchsorted
+    against the broadcast dictionary."""
+    if code_dict is None:
+        enc = pc.dictionary_encode(tbl["term"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
+        tbs = tbl["term_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tbs = None
+        dict_strs = None
     packed = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
     doc_ids_all = packed >> DL_BITS
     dls_all = packed & DL_MASK
-    seg = int(doc_ids_all[0]) // dps  # all rows share one segment (group key)
 
     order = np.lexsort((doc_ids_all, codes))
     c_sorted = codes[order]
     d_sorted = doc_ids_all[order]
     l_sorted = dls_all[order]
+    tb_sorted = tbs[order] if tbs is not None else None
 
     # posting boundaries: first token of each (term, doc) run → tf counts
     n_tok = len(c_sorted)
@@ -148,22 +167,24 @@ def _assemble_postings_arrow(
     p_codes = c_sorted[p_start_tok]
     p_docs = d_sorted[p_start_tok]
     p_dls = l_sorted[p_start_tok].astype(np.float64)
+    p_segs = p_docs // dps
     P = len(p_codes)
 
-    # per-term posting runs
+    # per-(term, segment) posting runs — docs sort ascending within a term,
+    # so each segment's slice of the term's postings is contiguous
     t_is_start = np.empty(P, dtype=bool)
     t_is_start[0] = True
     np.not_equal(p_codes[1:], p_codes[:-1], out=t_is_start[1:])
+    t_is_start[1:] |= p_segs[1:] != p_segs[:-1]
     t_starts = np.flatnonzero(t_is_start)
     t_lens = np.diff(np.append(t_starts, P))
 
-    # 128-aligned block starts within each term run
+    # 128-aligned block starts within each (term, segment) run
     rel = np.arange(P, dtype=np.int64) - np.repeat(t_starts, t_lens)
     b_is_start = (rel % BLOCK_SIZE) == 0
     b_starts = np.flatnonzero(b_is_start)
     b_ends = np.append(b_starts[1:], P)
     b_lens = (b_ends - b_starts).astype(np.int32)
-    n_blocks = len(b_starts)
 
     # delta stream: absolute doc id at block starts, gap-1 elsewhere
     prev = np.empty(P, dtype=np.int64)
@@ -188,13 +209,20 @@ def _assemble_postings_arrow(
     # per-block term linkage
     b_term_idx = np.searchsorted(t_starts, b_starts, side="right") - 1
     b_block_no = ((b_starts - t_starts[b_term_idx]) // BLOCK_SIZE).astype(np.int32)
-    b_terms = dict_strs[p_codes[b_starts]]
+    b_codes = p_codes[b_starts]
+    if dict_strs is not None:
+        b_terms = dict_strs[b_codes]
+        b_tb = tb_sorted[p_start_tok[b_starts]].astype(np.int32)
+    else:
+        codes_sorted, terms_sorted = code_dict
+        b_terms = terms_sorted[np.searchsorted(codes_sorted, b_codes)]
+        b_tb = (b_codes % term_buckets).astype(np.int32)
     b_df_seg = t_lens[b_term_idx].astype(np.int64)
 
     return pa.table(
         {
-            "segment_id": pa.array(np.full(n_blocks, seg, dtype=np.int64)),
-            "term_bucket": pa.array(np.full(n_blocks, tb, dtype=np.int32)),
+            "segment_id": pa.array(p_segs[b_starts]),
+            "term_bucket": pa.array(b_tb),
             "term": pa.array(b_terms, type=pa.string()),
             "df_seg": pa.array(b_df_seg),
             "block_no": pa.array(b_block_no),
@@ -246,13 +274,45 @@ class IndexBuilder:
         id_buckets: int = 64,
         doc_id_offset: int = 0,
         id_col: str | None = None,
+        term_coding: str = "strings",
+        max_vocab_broadcast: int = 4_000_000,
+        postings_partitions: int | None = None,
     ):
+        """``term_coding``:
+
+        - ``"strings"`` (default): term strings ride the one wide shuffle.
+        - ``"dict"``: the shuffle carries an int64 term CODE instead. A
+          pre-pass computes the distinct vocabulary (map-side reduced via
+          per-doc array_distinct), ranks it per bucket, and broadcast-joins
+          codes onto the token stream map-side — the shuffle moves two
+          int64s per token, no strings. Falls back to ``"strings"`` when
+          the vocabulary exceeds ``max_vocab_broadcast``.
+
+          Measured (BENCH/BASELINE.md round 2): dict coding cuts shuffled
+          bytes 1.83× but leaves reduce-side core-seconds UNCHANGED — the
+          reduce cost is the per-row sort + Arrow transfer + assembly, not
+          byte volume — while paying an extra tokenize pass for the
+          vocabulary. ``"strings"`` is therefore the default; the option
+          stays for byte-constrained networks (a real cluster's shuffle
+          crosses NICs, where 1.83× fewer bytes IS the win).
+
+        ``postings_partitions``: shuffle partition count for the postings
+        exchange; default max(48, 3 × defaultParallelism). Size it so a
+        partition's token rows (~16 B/row in Arrow) fit executor memory —
+        at 10^12 docs raise it with corpus size (tokens/partition ≈
+        total_tokens / partitions).
+        """
+        if term_coding not in ("dict", "strings"):
+            raise ValueError(f"unknown term_coding {term_coding!r}")
         self.spark = spark
         self.dir = Path(index_dir)
         self.profile = profile
         self.dps = docs_per_segment
         self.term_buckets = term_buckets
         self.id_buckets = id_buckets
+        self.term_coding = term_coding
+        self.max_vocab_broadcast = max_vocab_broadcast
+        self.postings_partitions = postings_partitions
         # delta builds start past the base index; must be a multiple of
         # docs_per_segment so segment ids never collide across a merge
         if doc_id_offset % docs_per_segment:
@@ -342,37 +402,114 @@ class IndexBuilder:
         avgdl = float(st["avgdl"])
 
         def postings_stage(tmp: str) -> dict:
-            # ONE shuffle: token-level rows group straight to their
-            # (segment, term_bucket) assembly task; tf counting happens
-            # vectorized inside the assembly UDF. avgdl rides the closure,
-            # never a per-row column.
-            # pack (doc_id, doc_len) into one int64 and derive the segment
-            # in the grouping expression — token rows shuffle as
-            # (packed, term, term_bucket), ~40% lighter than five columns
-            tokens = docs.select(
-                (F.shiftleft(F.col("doc_id"), DL_BITS)
-                 + F.least(F.col("doc_len"), F.lit(DL_MASK)))
-                .alias("packed"),
-                F.explode(tokenize_col("text", self.profile)).alias("term"),
-            ).withColumn(
-                "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(self.term_buckets)).cast("int"),
-            )
+            # ONE wide shuffle either way: token-level rows group straight
+            # to their (segment, term_bucket) assembly task; tf counting
+            # happens vectorized inside the assembly UDF. avgdl rides the
+            # closure, never a per-row column. (doc_id, doc_len) pack into
+            # one int64 and the segment derives in the grouping expression.
             dps = self.dps
-
-            def assemble(tbl: pa.Table) -> pa.Table:
-                return _assemble_postings_arrow(tbl, avgdl, dps)
-
+            B = self.term_buckets
+            packed_col = (
+                F.shiftleft(F.col("doc_id"), DL_BITS)
+                + F.least(F.col("doc_len"), F.lit(DL_MASK))
+            ).alias("packed")
             seg_key = (
                 F.shiftright(F.col("packed"), DL_BITS) / dps
             ).cast("long").alias("segment_id")
-            # the groupBy output is already hash-partitioned by
-            # (segment_id, term_bucket) — write directly from those tasks
-            # (files per bucket dir ≤ shuffle partitions); an extra
-            # repartition would re-shuffle every encoded block for nothing
+
+            code_dict = None
+            if self.term_coding == "dict":
+                # vocabulary pre-pass: per-doc array_distinct collapses the
+                # token stream map-side, so the distinct shuffle moves
+                # ~sum(per-doc distinct terms) rows, a fraction of tokens
+                vocab = (
+                    docs.select(
+                        F.explode(
+                            F.array_distinct(tokenize_col("text", self.profile))
+                        ).alias("term")
+                    )
+                    .distinct()
+                    .withColumn(
+                        "term_bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(B)).cast("int"),
+                    )
+                )
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("term_bucket").orderBy("term")
+                coded = vocab.withColumn(
+                    "code",
+                    ((F.row_number().over(w) - 1).cast("long") * B
+                     + F.col("term_bucket")),
+                )
+                vocab_pdf = coded.select("term", "code").toPandas()
+                if len(vocab_pdf) > self.max_vocab_broadcast:
+                    code_dict = None  # too big to broadcast — string path
+                else:
+                    order = np.argsort(vocab_pdf["code"].to_numpy())
+                    codes_sorted = vocab_pdf["code"].to_numpy()[order]
+                    terms_sorted = vocab_pdf["term"].to_numpy()[order]
+                    code_dict = (codes_sorted, terms_sorted)
+
+            if code_dict is not None:
+                bc = self.spark.sparkContext.broadcast(code_dict)
+                # map-side code attach: broadcast hash join, no token
+                # shuffle; the wide shuffle then carries (packed, code) —
+                # two int64s, zero strings
+                vocab_map = self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {"term": code_dict[1], "code": code_dict[0]}
+                    )
+                )
+                tokens = (
+                    docs.select(
+                        packed_col,
+                        F.explode(tokenize_col("text", self.profile)).alias(
+                            "term"
+                        ),
+                    )
+                    .join(F.broadcast(vocab_map), "term")
+                    .select("packed", "code")
+                )
+                bucket_expr = F.pmod(F.col("code"), F.lit(B)).cast("int")
+
+                def assemble_tbl(tbl: pa.Table) -> pa.Table:
+                    return _assemble_postings_arrow(
+                        tbl, avgdl, dps, code_dict=bc.value, term_buckets=B
+                    )
+            else:
+                tokens = docs.select(
+                    packed_col,
+                    F.explode(tokenize_col("text", self.profile)).alias("term"),
+                ).withColumn(
+                    "term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(B)).cast("int"),
+                )
+                bucket_expr = F.col("term_bucket")
+
+                def assemble_tbl(tbl: pa.Table) -> pa.Table:
+                    return _assemble_postings_arrow(tbl, avgdl, dps)
+
+            def assemble_partition(batches):
+                bl = list(batches)
+                if not bl:
+                    return
+                for b in assemble_tbl(pa.Table.from_batches(bl)).to_batches():
+                    yield b
+
+            # plain hash exchange + whole-partition Arrow assembly: a
+            # groupBy().applyInArrow here would add a per-row comparator
+            # SORT of every token row in the JVM; instead the partition
+            # sorts ONCE in numpy inside the assembler (the multi-group
+            # form breaks term runs at segment boundaries, so output
+            # blocks are identical). Measured: ~20% postings-stage wall
+            # at 32 CPUs, better width-scaling (BENCH/BASELINE.md).
+            n_parts = self.postings_partitions or max(
+                48, 3 * self.spark.sparkContext.defaultParallelism
+            )
             (
-                tokens.groupBy(seg_key, F.col("term_bucket"))
-                .applyInArrow(assemble, POSTINGS_SCHEMA)
+                tokens.repartition(n_parts, seg_key, bucket_expr)
+                .mapInArrow(assemble_partition, POSTINGS_SCHEMA)
                 .sortWithinPartitions("term", "segment_id", "block_no")
                 .write.mode("overwrite")
                 .partitionBy("term_bucket")

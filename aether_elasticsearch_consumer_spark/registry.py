@@ -378,9 +378,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: crc-based fingerprint not in SQL
+@register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join."""
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join.
+
+    rows-only BY NECESSITY (the one remaining no_oracle entry): the
+    64-bit token hash is crc32-based, which DuckDB cannot reproduce in
+    SQL. Compensating checks: the pigeonhole join is EXACT given the
+    fingerprints (recall 1 by construction, bit_count-verified), asserted
+    against brute-force all-pairs hamming over real fixture docs in
+    tests/test_dedup_similarity.py::test_simhash_pigeonhole_exact_vs_bruteforce."""
     return simhash_neardup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 

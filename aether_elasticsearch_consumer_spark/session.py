@@ -50,6 +50,15 @@ def get_spark(
             os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
         )
     )
+    # opt-in event logs (stage forensics: shuffle bytes, task-time sums)
+    ev_dir = os.environ.get("SPARK_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", ev_dir)
+            .config("spark.eventLog.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

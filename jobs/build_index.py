@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--profile", default="ascii", choices=["ascii", "unicode"])
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--force", action="store_true")
+    ap.add_argument(
+        "--term-coding", default="dict", choices=["dict", "strings"],
+        help="dict = int64 term codes in the postings shuffle (default); "
+             "strings = round-1 behaviour (term strings in the shuffle)",
+    )
     args = ap.parse_args(argv)
     if not args.source and not args.synthetic:
         ap.error("need --source or --synthetic")
@@ -68,6 +73,7 @@ def main(argv=None):
         profile=args.profile,
         docs_per_segment=args.docs_per_segment,
         term_buckets=args.term_buckets,
+        term_coding=args.term_coding,
     )
     manifests = builder.build(src, fingerprint_extra=fp, force=args.force)
     elapsed = time.time() - t0

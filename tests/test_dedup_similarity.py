@@ -109,6 +109,31 @@ def test_simhash_neardup(spark, dup_docs):
     assert (4, 5) not in got
 
 
+def test_simhash_pigeonhole_exact_vs_bruteforce(spark, sf001_dir):
+    """The pigeonhole chunk join must return EXACTLY the hamming<=r pairs
+    (the banding covers all 64 bits, so recall is 1 by construction; the
+    bit_count verification kills false positives). Brute-force all-pairs
+    hamming over the collected fingerprints is the ground truth."""
+    from aether_elasticsearch_consumer_spark.operators.dedup import simhash_col
+
+    d = spark.read.parquet(f"{sf001_dir}/documents.parquet").limit(300)
+    fp = {
+        r["doc_id"]: np.uint64(r["s"])
+        for r in d.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()
+    }
+    ids = sorted(fp)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(int(fp[a] ^ fp[b])).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == want
+
+
 def test_embedding_neardup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
