@@ -135,3 +135,111 @@ def schema_defined_visualizations(alias: str, schema: dict) -> dict[str, VisSpec
         spec = _mk(alias, f["name"], vis_type, f["name"])
         out[spec.vis_id] = spec
     return out
+
+
+# -- index-pattern artifact + diff-gated merge --------------------------------
+# Reference: make_kibana_index / merge_kibana_artifacts / update_kibana_index
+# (/root/reference/consumer/app/index_handler.py:284-357,464-545). The
+# reference stores content hashes of everything it pushed to Kibana and only
+# re-pushes artifacts whose hash changed ("save the new hashes last in case
+# of partial failure", 341-343). Here the artifact store is any dict-backed
+# persistence (plans/lifecycle.IndexLifecycle.put_artifact).
+
+import json as _json
+
+from ..functions.schema_map import elect_time_field
+from ..plans.checkpoint import content_hash
+from .ingest import LOOKUP_DEFAULT, lookup_fields
+
+
+def format_lookups(
+    schema: dict, default: str = LOOKUP_DEFAULT, strip_form_name: bool = True
+) -> dict[str, dict]:
+    """fieldFormatMap entries compiled from @aether_lookup annotations —
+    reference _format_lookups/_format_single_lookup
+    (index_handler.py:698-724): static_lookup with unknownKeyValue."""
+    out = {}
+    for path, pairs in lookup_fields(schema).items():
+        key = remove_formname(path) if strip_form_name else path
+        out[key] = {
+            "id": "static_lookup",
+            "params": {
+                "lookupEntries": [
+                    {"value": p["label"], "key": p["value"]} for p in pairs
+                ],
+                "unknownKeyValue": default,
+            },
+        }
+    return out
+
+
+def make_index_pattern(name: str, schema: dict) -> dict:
+    """The index-pattern saved object — reference make_kibana_index
+    (index_handler.py:284-297): title, elected timeFieldName, and the
+    fieldFormatMap (escaped JSON, sorted keys; omitted when empty)."""
+    lookups = format_lookups(schema)
+    return {
+        "attributes": {
+            "title": name,
+            "timeFieldName": elect_time_field(schema),
+            "fieldFormatMap": _json.dumps(lookups, sort_keys=True)
+            if lookups
+            else None,
+        }
+    }
+
+
+def _vis_fingerprint(spec: VisSpec) -> str:
+    return content_hash(
+        {"id": spec.vis_id, "title": spec.title, "type": spec.vis_type,
+         "field": spec.field}
+    )
+
+
+def merge_kibana_artifacts(
+    schema_name: str,
+    index_pattern: dict,
+    visualizations: dict[str, VisSpec],
+    old_artifact: dict | None = None,
+) -> tuple[dict | None, dict | None, dict[str, VisSpec]]:
+    """Diff-gated artifact merge — reference merge_kibana_artifacts
+    (index_handler.py:464-545): returns (index_pattern_to_write,
+    new_artifact_hashes, visualizations_to_write). All three are None/empty
+    when nothing changed, so callers skip the external write entirely.
+
+    The artifact dict records content hashes of everything previously
+    written ({'hashes': {'index': {schema: h}, 'visualization': {id: h}}});
+    a field-level schema change (new lookup entry, different elected time
+    field) changes the index-pattern hash and re-triggers exactly the
+    changed objects."""
+    index_hash = content_hash(index_pattern)
+    vis_hashes = {k: _vis_fingerprint(v) for k, v in visualizations.items()}
+    if not old_artifact:
+        artifact = {
+            "hashes": {
+                "index": {schema_name: index_hash},
+                "visualization": vis_hashes,
+            }
+        }
+        return index_pattern, artifact, dict(visualizations)
+    old_hashes = old_artifact.get("hashes", {})
+    old_index_hash = old_hashes.get("index", {}).get(schema_name)
+    old_vis_hashes = old_hashes.get("visualization", {})
+    updated_visuals = {
+        k: visualizations[k]
+        for k, h in vis_hashes.items()
+        if h not in old_vis_hashes.values()
+    }
+    if old_index_hash == index_hash and not updated_visuals:
+        return None, None, {}
+    artifact = {
+        "hashes": {
+            "index": {
+                **old_hashes.get("index", {}),
+                schema_name: index_hash,
+            },
+            "visualization": {**old_vis_hashes, **vis_hashes},
+        }
+    }
+    merged = index_pattern if old_index_hash != index_hash else None
+    return merged, artifact, updated_visuals

@@ -46,6 +46,48 @@ LONGITUDE_FIELDS = ["lon", "lng", "long", "longitude"]
 DEFAULT_MASK_LEVELS = ["false", "true"]
 DEFAULT_EMIT_LEVEL = "false"
 
+LOOKUP_ANNOTATION = "@aether_lookup"
+LOOKUP_DEFAULT = "Other"
+
+
+def lookup_fields(
+    schema: dict, annotation: str = LOOKUP_ANNOTATION, prefix: str = ""
+) -> dict[str, list[dict]]:
+    """F11 schema walk: dotted path → [{label, value}, ...] for every field
+    carrying an ``@aether_lookup`` annotation, nested records included —
+    the reference's ``schema.collect_matching({'has_attr': ['__lookup']})``
+    (/root/reference/consumer/app/index_handler.py:698-712)."""
+    out: dict[str, list[dict]] = {}
+    for f in schema.get("fields", []):
+        path = f"{prefix}{f['name']}"
+        pairs = f.get(annotation)
+        if pairs:
+            out[path] = pairs
+        t = f["type"]
+        members = t if isinstance(t, list) else [t]
+        for m in members:
+            if isinstance(m, dict) and m.get("type") == "record":
+                out.update(lookup_fields(m, annotation, prefix=path + "."))
+    return out
+
+
+def lookup_decode_col(
+    path: str, pairs: list[dict], default: str = LOOKUP_DEFAULT
+) -> Column:
+    """value→label decode with the reference's 'Other' fallback
+    (``unknownKeyValue`` in ``_format_single_lookup``,
+    index_handler.py:715-723) as a broadcast-free Catalyst map literal."""
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for pair in pairs
+            for x in (str(pair["value"]), str(pair["label"]))
+        ]
+    )
+    return F.coalesce(
+        mapping[F.col(path).cast("string")], F.lit(default)
+    )
+
 
 def _find_paths(schema: dict, name: str, prefix: str = "") -> list[str]:
     """All dotted paths in (possibly nested) avro schema whose leaf name
@@ -197,6 +239,19 @@ class IngestPipeline:
                 out[value] = stamp
         return out
 
+    # -- F11 ----------------------------------------------------------------
+    def lookup_decodes(self, default: str = LOOKUP_DEFAULT) -> dict[str, Column]:
+        """Schema-annotation-driven decode columns: every ``@aether_lookup``
+        field gains a ``<path>_decoded`` sibling (dots → underscores) with
+        the 'Other' fallback. Compiled from the schema like aet_geopoint —
+        no hardcoded maps."""
+        return {
+            path.replace(".", "_") + "_decoded": lookup_decode_col(
+                path, pairs, default
+            )
+            for path, pairs in lookup_fields(self.schema).items()
+        }
+
     # -- P3 ---------------------------------------------------------------
     def reserved_renames(self, columns: list[str]) -> dict[str, str]:
         return {c: f"es_reserved_{c}" for c in columns if c in ES_RESERVED}
@@ -221,6 +276,13 @@ class IngestPipeline:
         meta_cols = self.meta_columns()
         if meta_cols:
             df = df.withColumns(meta_cols)
+        decodes = {
+            path.replace(".", "_") + "_decoded": lookup_decode_col(path, pairs)
+            for path, pairs in lookup_fields(self.schema).items()
+            if path.split(".")[0] in df.columns  # root survived the mask
+        }
+        if decodes:
+            df = df.withColumns(decodes)
         renames = self.reserved_renames(df.columns)
         if renames:
             df = df.withColumnsRenamed(renames)

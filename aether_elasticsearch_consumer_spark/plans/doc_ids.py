@@ -20,12 +20,25 @@ from pyspark.sql import functions as F
 
 
 def assign_doc_ids(
-    df: DataFrame, id_col: str = "url", n_buckets: int = 64, offset: int = 0
+    df: DataFrame, id_col: str = "url", n_buckets: int | None = 64,
+    offset: int = 0,
 ) -> DataFrame:
     """Add dense deterministic ``doc_id`` int64 column starting at
     ``offset`` (used by incremental delta builds to occupy a doc-id range
     disjoint from the base index). Two jobs: one n_buckets-row count
-    aggregate, one bucketed window rank."""
+    aggregate, one bucketed window rank.
+
+    Sizing rule (each bucket's rank is ONE task's sort): expected bucket
+    size = N / n_buckets, so pick n_buckets ≥ N / 10M to keep the largest
+    window sort comfortably in one task's memory — ``n_buckets=None``
+    derives max(64, 8 × defaultParallelism), which keeps buckets
+    task-sized as the cluster (and with it the corpus a cluster of that
+    size ingests) grows. xxhash64 spreads urls uniformly, so skew is
+    binomial-tight; ids stay dense in [offset, offset+N) at ANY bucket
+    count, and which count was used only permutes the url→id mapping
+    (rank-identity across counts pinned in tests/test_index_parity.py)."""
+    if n_buckets is None:
+        n_buckets = max(64, 8 * df.sparkSession.sparkContext.defaultParallelism)
     bucketed = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     )

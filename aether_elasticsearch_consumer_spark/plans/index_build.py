@@ -336,6 +336,20 @@ class IndexBuilder:
         )
         manifests = {}
 
+        def check_pause() -> None:
+            # cooperative pause (reference REST pause/resume analogue):
+            # stop at the next stage boundary; finished stages keep their
+            # manifests, so resume_job + re-run continues losslessly
+            from .resources import JobPausedError, is_paused
+
+            if is_paused(self.dir):
+                raise JobPausedError(
+                    f"build paused at {self.dir} (resume_job to continue); "
+                    f"completed stages: {sorted(manifests)}"
+                )
+
+        check_pause()
+
         def docs_stage(tmp: str) -> dict:
             docs = build_docs_df(
                 source, self.profile, self.id_buckets, self.doc_id_offset,
@@ -361,6 +375,7 @@ class IndexBuilder:
             )
             return {}
 
+        check_pause()
         manifests["doclens"] = run_stage(
             "doclens", self.dir / "doclens", fp, doclens_stage, force
         )
@@ -397,6 +412,7 @@ class IndexBuilder:
             pq.write_table(out, str(Path(tmp, "data", "part-00000.parquet")))
             return {"N": N, "avgdl": avgdl}
 
+        check_pause()
         manifests["stats"] = run_stage("stats", self.dir / "stats", fp, stats_stage, force)
         st = self.spark.read.parquet(str(self.dir / "stats/data")).collect()[0]
         avgdl = float(st["avgdl"])
@@ -517,6 +533,7 @@ class IndexBuilder:
             )
             return {}
 
+        check_pause()
         manifests["postings"] = run_stage(
             "postings", self.dir / "postings", fp, postings_stage, force
         )
@@ -535,6 +552,7 @@ class IndexBuilder:
             )
             return {}
 
+        check_pause()
         manifests["term_stats"] = run_stage(
             "term_stats", self.dir / "term_stats", fp, term_stats_stage, force
         )

@@ -12,6 +12,21 @@ Resource model (the engine-relevant subset of the reference's six types):
 - ``subscription``: which tables/topics to consume + topic_options
   (filter/masking — the P1/P2 contract, fixtures/schemas.py:315-345)
 - ``job``: subscriptions + index options (analyzer profile, layout)
+
+Why only 2 of the reference's 6 resource types: the other four
+(``elasticsearch``, ``local_elasticsearch``, ``kibana``, ``local_kibana``
+— reference fixtures/schemas.py:19-637) are CONNECTION descriptors for
+external ES/Kibana servers (url, user, password). This engine replaces
+those servers — the index layout and artifact store live in the catalog
+itself — so a connection resource has nothing to point at. The behaviors
+those resources carried (index DDL/alias, artifact hash-gating, default
+index selection) exist as plans/lifecycle.py + operators/autoviz.py.
+
+Job control: the reference's REST ``pause``/``resume`` (README.md:168-188)
+maps to a cooperative flag checked between build stages — ``pause_job``
+writes the flag, the builder stops at the next stage boundary (stage
+checkpoints make this lossless), ``resume_job`` clears it and a re-run
+continues from the manifests.
 """
 
 from __future__ import annotations
@@ -129,6 +144,33 @@ class ResourceStore:
         return sorted(p.stem for p in d.glob("*.json")) if d.exists() else []
 
 
+PAUSE_FLAG = "_PAUSED"
+
+
+class JobPausedError(RuntimeError):
+    """Raised by the builder when it stops at a stage boundary because the
+    job was paused. The completed stages' manifests remain valid; resume =
+    clear the flag and re-run build (checkpoints skip finished stages)."""
+
+
+def pause_job(index_dir: str | Path) -> None:
+    root = Path(index_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / PAUSE_FLAG).write_text("paused")
+
+
+def resume_job(index_dir: str | Path) -> bool:
+    p = Path(index_dir) / PAUSE_FLAG
+    if p.exists():
+        p.unlink()
+        return True
+    return False
+
+
+def is_paused(index_dir: str | Path) -> bool:
+    return (Path(index_dir) / PAUSE_FLAG).exists()
+
+
 def job_status(index_dir: str | Path) -> dict:
     """Job status from stage manifests (the reference's get_status +
     artifact checkpoints, README.md:168-188 / index_handler.py:387-435)."""
@@ -150,5 +192,8 @@ def job_status(index_dir: str | Path) -> dict:
         elif stage_dir.is_dir() and stage_dir.name.endswith(".__tmp__"):
             out["stages"][stage_dir.name] = {"state": "in-progress-or-crashed"}
     done = {"docs", "doclens", "stats", "postings", "term_stats"}
+    out["paused"] = is_paused(root)
     out["state"] = "complete" if done <= set(out["stages"]) else "partial"
+    if out["paused"] and out["state"] != "complete":
+        out["state"] = "paused"
     return out

@@ -275,6 +275,45 @@ def ingest_lookup_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ingest_schema_lookup",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 'Clicked'
+                           WHEN 'view' THEN 'Viewed'
+                           WHEN 'purchase' THEN 'Purchased'
+                           ELSE 'Other' END AS event_type_decoded
+    FROM events ORDER BY event_id
+    """,
+)
+def ingest_schema_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 the real way: the decode map is COMPILED from an
+    ``@aether_lookup`` schema annotation by IngestPipeline (the walk the
+    reference does in _format_lookups, index_handler.py:698-724) — nothing
+    hardcoded in the query."""
+    from .operators.ingest import IngestPipeline
+
+    schema = {
+        "name": "events",
+        "type": "record",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {
+                "name": "event_type",
+                "type": "string",
+                "@aether_lookup": [
+                    {"label": "Clicked", "value": "click"},
+                    {"label": "Viewed", "value": "view"},
+                    {"label": "Purchased", "value": "purchase"},
+                ],
+            },
+        ],
+    }
+    pipe = IngestPipeline(schema=schema)
+    out = pipe.apply(_events(spark, sf_dir).select("event_id", "event_type"))
+    return out.select("event_id", "event_type_decoded").orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: dedup, text analysis, similarity (SURVEY.md extras)
 # --------------------------------------------------------------------------

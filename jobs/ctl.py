@@ -12,6 +12,13 @@ Usage:
   python jobs/ctl.py list subscription
   python jobs/ctl.py delete subscription mysub
   python jobs/ctl.py status --index-dir /path/to/index
+  python jobs/ctl.py pause  --index-dir /path/to/index
+  python jobs/ctl.py resume --index-dir /path/to/index
+
+``pause`` is cooperative (reference README.md:168-188 pause/resume): a
+running build stops at the next stage boundary; completed stages keep
+their checkpoints. ``resume`` clears the flag — re-running the build
+continues from the manifests.
 """
 
 from __future__ import annotations
@@ -26,6 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from aether_elasticsearch_consumer_spark.plans.resources import (
     ResourceStore,
     job_status,
+    pause_job,
+    resume_job,
 )
 
 
@@ -33,7 +42,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("command", choices=[
         "describe", "get-schema", "validate", "add", "get", "list",
-        "delete", "status",
+        "delete", "status", "pause", "resume",
     ])
     ap.add_argument("rtype", nargs="?")
     ap.add_argument("arg", nargs="?")
@@ -63,6 +72,11 @@ def main(argv=None):
         print(json.dumps({"deleted": store.delete(args.rtype, args.arg)}))
     elif args.command == "status":
         print(json.dumps(job_status(args.index_dir), indent=2))
+    elif args.command == "pause":
+        pause_job(args.index_dir)
+        print(json.dumps({"paused": True}))
+    elif args.command == "resume":
+        print(json.dumps({"resumed": resume_job(args.index_dir)}))
 
 
 if __name__ == "__main__":

@@ -82,3 +82,113 @@ class TestDeepMerge:
 
     def test_type_mismatch_right_wins(self):
         assert deep_merge({"v": [1]}, {"v": {"a": 1}}) == {"v": {"a": 1}}
+
+
+# -- index-pattern artifact + diff-gated merge (reference
+#    index_handler.py:284-357,464-545) ----------------------------------------
+
+LOOKUP_SCHEMA = {
+    "name": "survey",
+    "type": "record",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "created", "type": ["null", "string"],
+         "@aether_extended_type": "dateTime"},
+        {"name": "answer", "type": "string",
+         "@aether_lookup": [
+             {"label": "Yes", "value": "1"},
+             {"label": "No", "value": "0"},
+         ]},
+        {"name": "nested", "type": {
+            "type": "record", "name": "inner", "fields": [
+                {"name": "grade", "type": "int",
+                 "@aether_lookup": [{"label": "Pass", "value": "p"}]},
+            ]}},
+    ],
+}
+
+
+class TestLookupCompilation:
+    def test_schema_walk_finds_nested(self):
+        from aether_elasticsearch_consumer_spark.operators.ingest import (
+            lookup_fields,
+        )
+
+        got = lookup_fields(LOOKUP_SCHEMA)
+        assert set(got) == {"answer", "nested.grade"}
+        assert got["answer"][0] == {"label": "Yes", "value": "1"}
+
+    def test_decode_with_other_fallback(self, spark):
+        from aether_elasticsearch_consumer_spark.operators.ingest import (
+            IngestPipeline,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "1"), ("b", "0"), ("c", "weird"), ("d", None)],
+            "id string, answer string",
+        )
+        flat = {
+            "name": "survey", "type": "record",
+            "fields": LOOKUP_SCHEMA["fields"][:3],
+        }
+        out = IngestPipeline(schema=flat).apply(df)
+        got = {r["id"]: r["answer_decoded"] for r in out.collect()}
+        assert got == {"a": "Yes", "b": "No", "c": "Other", "d": "Other"}
+
+    def test_format_lookups_shape(self):
+        from aether_elasticsearch_consumer_spark.operators.autoviz import (
+            format_lookups,
+        )
+
+        fmt = format_lookups(LOOKUP_SCHEMA)
+        assert fmt["answer"]["id"] == "static_lookup"
+        assert fmt["answer"]["params"]["unknownKeyValue"] == "Other"
+        assert {"value": "Yes", "key": "1"} in fmt["answer"]["params"]["lookupEntries"]
+
+
+class TestIndexPatternMerge:
+    def test_make_index_pattern(self):
+        from aether_elasticsearch_consumer_spark.operators.autoviz import (
+            make_index_pattern,
+        )
+
+        ip = make_index_pattern("tenant.survey", LOOKUP_SCHEMA)
+        at = ip["attributes"]
+        assert at["title"] == "tenant.survey"
+        assert at["timeFieldName"] == "created"
+        assert '"static_lookup"' in at["fieldFormatMap"]
+
+    def test_merge_gating(self):
+        from aether_elasticsearch_consumer_spark.operators.autoviz import (
+            auto_visualizations,
+            make_index_pattern,
+            merge_kibana_artifacts,
+        )
+
+        ip = make_index_pattern("tenant.survey", LOOKUP_SCHEMA)
+        vis = auto_visualizations("survey", LOOKUP_SCHEMA)
+        # first write: everything emitted
+        merged, art, upd = merge_kibana_artifacts("survey", ip, vis, None)
+        assert merged is ip and set(upd) == set(vis)
+        # unchanged: all gated out
+        merged2, art2, upd2 = merge_kibana_artifacts("survey", ip, vis, art)
+        assert merged2 is None and art2 is None and upd2 == {}
+        # a new lookup entry changes the index pattern ONLY
+        import copy
+
+        s2 = copy.deepcopy(LOOKUP_SCHEMA)
+        s2["fields"][2]["@aether_lookup"].append(
+            {"label": "Maybe", "value": "2"}
+        )
+        ip2 = make_index_pattern("tenant.survey", s2)
+        merged3, art3, upd3 = merge_kibana_artifacts("survey", ip2, vis, art)
+        assert merged3 is ip2 and upd3 == {}
+        assert art3["hashes"]["index"]["survey"] != art["hashes"]["index"]["survey"]
+        # one retitled vis re-emits just that vis
+        vis2 = dict(vis)
+        k = next(iter(vis2))
+        spec = vis2[k]
+        vis2[k] = type(spec)(spec.vis_id, spec.title + " v2", spec.vis_type,
+                             spec.field, spec.build)
+        merged4, art4, upd4 = merge_kibana_artifacts("survey", ip, vis2, art)
+        assert merged4 is None and list(upd4) == [k]

@@ -158,3 +158,36 @@ def test_empty_text_docs_indexable(spark, tmp_path):
     assert reader.N == 3
     hits = reader.search("hello", k=10).collect()
     assert len(hits) == 1
+
+
+def test_doc_id_bucket_count_invariance(spark, tmp_path_factory):
+    """Changing the doc-id bucket count only permutes the url→id mapping:
+    ids stay dense in [0, N) and search results are identical per url
+    (the documented sizing rule lets n_buckets grow with the cluster
+    without changing results)."""
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+
+    root = tmp_path_factory.mktemp("bkts")
+    src = webtext_df(spark, 400, partitions=4).cache()
+    readers = {}
+    for nb in (16, 128):
+        d = str(root / f"idx{nb}")
+        IndexBuilder(
+            spark, d, docs_per_segment=128, term_buckets=8, id_buckets=nb
+        ).build(src, fingerprint_extra=f"nb{nb}")
+        ids = [r["doc_id"] for r in
+               spark.read.parquet(d + "/docs/data").select("doc_id").collect()]
+        assert sorted(ids) == list(range(400)), nb  # dense at any count
+        readers[nb] = (IndexReader(spark, d),
+                       spark.read.parquet(d + "/docs/data").select("doc_id", "url"))
+    for q in ["keta", "ba ke ra", "the"]:
+        res = {}
+        for nb, (rd, docs) in readers.items():
+            hits = rd.search(q, k=10).join(docs, "doc_id")
+            res[nb] = sorted((r["url"], r["score"]) for r in hits.collect())
+        assert res[16] == res[128], q
+    src.unpersist()

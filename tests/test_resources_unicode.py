@@ -111,3 +111,30 @@ class TestUnicodeProfile:
         st = job_status(d)
         assert st["state"] == "complete"
         assert set(st["stages"]) >= {"docs", "doclens", "stats", "postings", "term_stats"}
+
+
+def test_pause_resume_cycle(spark, tmp_path):
+    """Cooperative pause: the builder refuses to start/continue while the
+    flag exists; resume + re-run continues losslessly from checkpoints."""
+    import pytest as _pytest
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+    from aether_elasticsearch_consumer_spark.plans.resources import (
+        JobPausedError,
+        job_status,
+        pause_job,
+        resume_job,
+    )
+
+    d = str(tmp_path / "idx")
+    src = webtext_df(spark, 60, partitions=2)
+    pause_job(d)
+    b = IndexBuilder(spark, d, docs_per_segment=32, term_buckets=4)
+    with _pytest.raises(JobPausedError):
+        b.build(src, fingerprint_extra="pr")
+    assert job_status(d)["state"] == "paused"
+    assert resume_job(d) and not resume_job(d)
+    m = b.build(src, fingerprint_extra="pr")
+    assert job_status(d)["state"] == "complete"
+    assert set(m) == {"docs", "doclens", "stats", "postings", "term_stats"}
