@@ -89,10 +89,7 @@ def fulltext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference delegates this to ES (tests assert max_score:
     /root/reference/consumer/tests/test__index_handler.py:176-196)."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
-    return IndexReader(spark, idx).search(_Q1, k=10)
+    return _reader_for(spark, sf_dir).search(_Q1, k=10)
 
 
 @register(
@@ -106,10 +103,7 @@ def fulltext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: term query off the inverted index — a pruned postings read
     (term_bucket directory + row-group min/max), never a corpus scan."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
-    return IndexReader(spark, idx).match_docs("window").orderBy("doc_id")
+    return _reader_for(spark, sf_dir).match_docs("window").orderBy("doc_id")
 
 
 @register(
@@ -169,10 +163,7 @@ def fulltext_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_multiterm_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 AND fast path: per-segment posting-list intersection on the
     index (docs' postings for all terms co-locate in one segment)."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
-    return IndexReader(spark, idx).match_docs("spark join", "and").orderBy("doc_id")
+    return _reader_for(spark, sf_dir).match_docs("spark join", "and").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -843,11 +834,8 @@ def fulltext_bm25_topk_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_or_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 OR semantics: disjunctive match count via per-segment posting
     union on the index."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
     return (
-        IndexReader(spark, idx)
+        _reader_for(spark, sf_dir)
         .match_docs("spark window", "or")
         .agg(F.count("*").alias("cnt"))
     )
@@ -990,6 +978,21 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
     return str(d)
 
 
+_READERS: dict[tuple[int, str], object] = {}
+
+
+def _reader_for(spark: SparkSession, sf_dir: str):
+    """IndexReader cached per (session, sf_dir) — the reader holds the
+    stats row and source DataFrames, so file listings and the checkpointed
+    build() no-op aren't repeated per registry call."""
+    from .operators.topk import IndexReader
+
+    key = (id(spark), sf_dir)
+    if key not in _READERS:
+        _READERS[key] = IndexReader(spark, _index_for(spark, sf_dir))
+    return _READERS[key]
+
+
 @register(
     "fulltext_index_topk",
     f"""
@@ -1016,10 +1019,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
 def fulltext_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3-X9 end-to-end: compressed block-max index build + MaxScore/WAND
     search — the engine's real query path, not the naive scorer."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
-    return IndexReader(spark, idx).search("hash scan shuffle", k=10)
+    return _reader_for(spark, sf_dir).search("hash scan shuffle", k=10)
 
 
 @register(
@@ -1047,7 +1047,4 @@ def fulltext_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fulltext_index_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 impact-ordered early-termination path under the oracle."""
-    from .operators.topk import IndexReader
-
-    idx = _index_for(spark, sf_dir)
-    return IndexReader(spark, idx).search("window", k=10)
+    return _reader_for(spark, sf_dir).search("window", k=10)
