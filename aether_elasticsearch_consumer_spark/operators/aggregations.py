@@ -127,3 +127,94 @@ def geohash_grid_agg(
 def doc_count_parity(src: DataFrame, dst: DataFrame) -> bool:
     """A5 migration verification barrier (index_handler.py:179-218)."""
     return src.count() == dst.count()
+
+
+# -- ES metric-aggregation family ---------------------------------------------
+# The reference's visStates declare `count` explicitly; the ES metric aggs
+# below are the rest of the metric surface its dashboards draw from
+# (stats / cardinality / percentiles / range / filters). All are two-phase
+# hash aggregations — the shapes that scale.
+
+
+def stats_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES `stats` metric: count/min/max/avg/sum in one pass."""
+    c = F.col(field)
+    return df.where(c.isNotNull()).agg(
+        F.count(c).alias("cnt"),
+        F.round(F.min(c), 6).alias("min_v"),
+        F.round(F.max(c), 6).alias("max_v"),
+        F.round(F.avg(c), 6).alias("avg_v"),
+        F.round(F.sum(c), 4).alias("sum_v"),
+    )
+
+
+def cardinality_agg(df: DataFrame, field: str, exact: bool = True,
+                    rsd: float = 0.05) -> DataFrame:
+    """ES `cardinality` metric. ES is always approximate (HLL);
+    ``exact=False`` mirrors that via Spark's HLL++ (`approx_count_distinct`,
+    relative error ``rsd``) — the 100-TB path. ``exact=True`` (default
+    here) is the oracle-comparable variant."""
+    c = F.col(field)
+    agg = (
+        F.countDistinct(c) if exact else F.approx_count_distinct(c, rsd)
+    )
+    return df.agg(agg.alias("cardinality"))
+
+
+def percentiles_agg(
+    df: DataFrame, field: str, percents: list[float] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """ES `percentiles` metric. ES uses t-digest (approximate); here the
+    default is Spark's EXACT `percentile` (continuous interpolation —
+    identical definition to DuckDB quantile_cont, so oracle-checkable).
+    At corpus scale swap in `percentile_approx` (positional sketch) the
+    same way ES trades exactness."""
+    arr = ", ".join(str(p) for p in percents)
+    cols = [
+        F.round(
+            F.expr(f"percentile({field}, array({arr}))")[i], 6
+        ).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(percents)
+    ]
+    return df.where(F.col(field).isNotNull()).agg(*cols)
+
+
+def range_agg(
+    df: DataFrame, field: str, bounds: list[tuple[float | None, float | None]]
+) -> DataFrame:
+    """ES `range` bucket agg: half-open [from, to) buckets, labelled the
+    ES way ('a-b', '*-b', 'a-*'). ES ranges are INDEPENDENT (a doc can
+    fall in several overlapping ranges), so each bucket is a conditional
+    sum in one pass, unpivoted to (bucket, cnt) rows."""
+    c = F.col(field)
+    sums = []
+    labels = []
+    for lo, hi in bounds:
+        label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        labels.append(label)
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi)
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_r{len(labels) - 1}")
+        )
+    one = df.agg(*sums)
+    stack_args = ", ".join(
+        f"'{label}', _r{i}" for i, label in enumerate(labels)
+    )
+    return one.select(
+        F.expr(f"stack({len(labels)}, {stack_args}) as (bucket, cnt)")
+    ).orderBy("bucket")
+
+
+def filters_agg(df: DataFrame, named_filters: dict[str, Column]) -> DataFrame:
+    """ES `filters` bucket agg: one named bucket per predicate, counted in
+    a single pass (conditional aggregation — no per-filter scans)."""
+    return df.agg(
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(name)
+            for name, pred in named_filters.items()
+        ]
+    )

@@ -954,6 +954,160 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ES metric-aggregation family (stats / cardinality / percentiles / range /
+# filters) — the remainder of the metric surface Kibana dashboards draw on.
+# --------------------------------------------------------------------------
+
+from .operators.aggregations import (  # noqa: E402
+    cardinality_agg,
+    filters_agg,
+    percentiles_agg,
+    range_agg,
+    stats_agg,
+)
+
+
+@register(
+    "agg_stats_metric",
+    """
+    SELECT count(value)::BIGINT AS cnt,
+           round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+           round(avg(value), 6) AS avg_v, round(sum(value), 4) AS sum_v
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_stats_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `stats` metric: count/min/max/avg/sum in one pass."""
+    return stats_agg(_events(spark, sf_dir), "value")
+
+
+@register(
+    "agg_cardinality",
+    "SELECT count(DISTINCT event_type)::BIGINT AS cardinality FROM events",
+)
+def agg_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `cardinality` metric (exact variant; the HLL++ approx variant —
+    what ES actually runs — is cardinality_agg(exact=False), pytest-pinned
+    within its rsd)."""
+    return cardinality_agg(_events(spark, sf_dir), "event_type", exact=True)
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `percentiles` metric — exact continuous-interpolation variant
+    (Spark `percentile` == DuckDB quantile_cont); swap percentile_approx
+    at corpus scale the same way ES trades exactness for t-digest."""
+    return percentiles_agg(_events(spark, sf_dir), "value", [0.5, 0.95, 0.99])
+
+
+@register(
+    "agg_range",
+    """
+    WITH s AS (
+      SELECT sum(CASE WHEN value IS NOT NULL AND value < 50 THEN 1 ELSE 0 END) AS r0,
+             sum(CASE WHEN value IS NOT NULL AND value >= 50 AND value < 200 THEN 1 ELSE 0 END) AS r1,
+             sum(CASE WHEN value IS NOT NULL AND value >= 200 THEN 1 ELSE 0 END) AS r2
+      FROM events
+    )
+    SELECT bucket, cnt::BIGINT AS cnt FROM (
+      SELECT '*-50' AS bucket, r0 AS cnt FROM s
+      UNION ALL SELECT '50-200', r1 FROM s
+      UNION ALL SELECT '200-*', r2 FROM s
+    ) ORDER BY bucket
+    """,
+)
+def agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `range` bucket agg: independent half-open [from, to) buckets."""
+    return range_agg(
+        _events(spark, sf_dir), "value", [(None, 50), (50, 200), (200, None)]
+    )
+
+
+@register(
+    "agg_filters",
+    """
+    SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+           sum(CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END)::BIGINT AS conversions,
+           sum(CASE WHEN value > 500 THEN 1 ELSE 0 END)::BIGINT AS big_values
+    FROM events
+    """,
+)
+def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `filters` bucket agg: named predicates counted in ONE pass
+    (conditional aggregation, not per-filter scans)."""
+    ev = _events(spark, sf_dir)
+    return filters_agg(
+        ev,
+        {
+            "clicks": F.col("event_type") == "click",
+            "conversions": F.col("event_type").isin(["purchase", "signup"]),
+            "big_values": F.col("value") > 500,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# Phrase / prefix queries (ES match_phrase & prefix, analyzed-token exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fulltext_phrase_match",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE contains(' ' || array_to_string({_TOKS_SQL}, ' ') || ' ',
+                   ' table hash ')
+    ORDER BY doc_id
+    """,
+)
+def fulltext_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase over the analyzed token stream: adjacency via the
+    delimiter-framed token join (' t1 t2 ' substring of ' tok tok … ') —
+    identical semantics both sides, no positional index needed for the
+    scan path."""
+    d = _docs(spark, sf_dir)
+    joined = F.concat(
+        F.lit(" "), F.array_join(tokenize_col("text"), " "), F.lit(" ")
+    )
+    return (
+        d.where(F.contains(joined, F.lit(" table hash ")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fulltext_prefix_count",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents
+    )
+    SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM toks
+    WHERE term LIKE 'shuf%'
+    """,
+)
+def fulltext_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query: docs containing any analyzed term with the prefix."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize_col("text"))).alias("term"),
+        )
+        .where(F.col("term").startswith("shuf"))
+        .agg(F.countDistinct("doc_id").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
 # The REAL index path under the driver's oracle: build (X3-X5) + block-max
 # top-k search (X7-X9) over the documents table, checked against the same
 # DuckDB BM25 SQL as the naive scorer.

@@ -119,3 +119,63 @@ def test_stream_ingest_incremental(spark, tmp_path):
     )
     stream_ingest(spark, in_dir + "/*", schema, pipe, table, "id", cp)
     assert {r["id"] for r in table.read().collect()} == {"a", "c"}
+
+
+class TestMetricAggFamily:
+    """ES metric-agg family: stats / cardinality / percentiles / range /
+    filters (one-pass conditional aggregation shapes)."""
+
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        rows = [(i, None if v is None else float(v), t) for i, (v, t) in enumerate(
+            [(5, "click"), (55, "view"), (250, "click"), (75, "purchase"),
+             (600, "click"), (30, "signup"), (None, "view")]
+        )]
+        return spark.createDataFrame(rows, "id long, value double, event_type string")
+
+    def test_stats(self, ev):
+        from aether_elasticsearch_consumer_spark.operators.aggregations import stats_agg
+
+        r = stats_agg(ev, "value").collect()[0]
+        assert r["cnt"] == 6 and r["min_v"] == 5.0 and r["max_v"] == 600.0
+        assert r["sum_v"] == 1015.0
+
+    def test_cardinality_exact_and_approx(self, ev):
+        from aether_elasticsearch_consumer_spark.operators.aggregations import (
+            cardinality_agg,
+        )
+
+        assert cardinality_agg(ev, "event_type").collect()[0]["cardinality"] == 4
+        approx = cardinality_agg(ev, "event_type", exact=False, rsd=0.05)
+        got = approx.collect()[0]["cardinality"]
+        assert abs(got - 4) <= 1  # HLL++ within rsd at tiny n
+
+    def test_percentiles_median(self, ev):
+        from aether_elasticsearch_consumer_spark.operators.aggregations import (
+            percentiles_agg,
+        )
+
+        r = percentiles_agg(ev, "value", [0.5]).collect()[0]
+        assert r["p50"] == 65.0  # continuous interpolation of 6 values
+
+    def test_range_overlapping_buckets_independent(self, spark):
+        from aether_elasticsearch_consumer_spark.operators.aggregations import range_agg
+
+        df = spark.createDataFrame([(10.0,), (60.0,), (300.0,)], "v double")
+        # overlapping ranges: 60 falls in BOTH '50-500' and '*-100'
+        got = {r["bucket"]: r["cnt"] for r in
+               range_agg(df, "v", [(None, 100), (50, 500)]).collect()}
+        assert got == {"*-100": 2, "50-500": 2}
+
+    def test_filters_one_pass(self, ev):
+        from pyspark.sql import functions as F
+
+        from aether_elasticsearch_consumer_spark.operators.aggregations import (
+            filters_agg,
+        )
+
+        r = filters_agg(ev, {
+            "clicks": F.col("event_type") == "click",
+            "big": F.col("value") > 100,
+        }).collect()[0]
+        assert r["clicks"] == 3 and r["big"] == 2
