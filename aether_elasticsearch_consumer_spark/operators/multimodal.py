@@ -2,12 +2,18 @@
 columns with typed metadata.
 
 The Spark-side contract is fully real — schemas, Arrow batch shapes,
-``mapInPandas`` partitioning, metadata structs; only the *codec* step is
-stubbed (this container ships no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic byte-level pseudo-decode stands in so the distributed
-plumbing is testable end-to-end. Swap ``_fake_decode`` for PIL/ffmpeg in
-production; nothing else changes.
+``mapInPandas`` partitioning, metadata structs. The codec layer decodes
+the uncompressed raster formats REAL (pure numpy, no external libs):
+
+- PPM (P6 binary) → (h, w, 3) uint8
+- BMP (uncompressed 24-bit BI_RGB, bottom-up or top-down) → (h, w, 3)
+
+plus ``resize_nearest`` (vectorized nearest-neighbor). Compressed formats
+(JPEG/PNG/video) need real codec libraries this container doesn't ship;
+for those ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True`` (deterministic byte-level pseudo-decode so the distributed
+plumbing stays testable end-to-end). Swap in PIL/cv2/ffmpeg at the same
+seam in production; nothing else changes.
 """
 
 from __future__ import annotations
@@ -55,12 +61,81 @@ def _fake_decode(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8)
 
 
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """P6 binary PPM → (h, w, 3) uint8. Header = 'P6' <w> <h> <maxval>
+    tokens separated by whitespace/comments, one whitespace byte, then
+    raw RGB rows."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # tokenize the header, skipping '#' comments
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    need = w * h * 3
+    data = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB. Rows are
+    padded to 4-byte multiples and stored bottom-up (negative height =
+    top-down); pixels are BGR on disk."""
+    if not buf.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize for (h, w[, c]) arrays."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
 def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
+    """Real decode for PPM(P6)/BMP(24-bit); deterministic pseudo-decode
+    with ``fake=True`` for anything else (compressed codecs need
+    libraries this container doesn't ship)."""
+    if buf[:2] == b"P6":
+        return _decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
-        "image codecs unavailable in this container — pass fake=True for the "
-        "deterministic test decode, or plug PIL/cv2 here in production"
+        "compressed image codecs unavailable in this container — PPM/BMP "
+        "decode natively; pass fake=True for the deterministic test decode, "
+        "or plug PIL/cv2 here in production"
     )
 
 
@@ -89,6 +164,36 @@ def extract_features(
     return df.select(
         F.col(key_col).alias(key_col), F.col(binary_col).alias(binary_col)
     ).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ]
+)
+
+
+def thumbnails(
+    df: DataFrame, key_col: str, binary_col: str, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Distributed decode → nearest-neighbor resize over image binaries
+    (real for PPM/BMP): one (key, w, h, raw RGB bytes) row per image."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[binary_col]):
+                img = decode_image(bytes(buf))
+                small = resize_nearest(img, out_w, out_h)
+                rows.append(
+                    (str(key), out_w, out_h, small.astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["key", "width", "height", "pixels"])
+
+    return df.select(key_col, binary_col).mapInPandas(shrink, THUMB_SCHEMA)
 
 
 def frame_sample(

@@ -82,6 +82,35 @@ def _decode_blocks_batch(blocks: list[dict]) -> tuple[np.ndarray, np.ndarray]:
     return ids2d[rows, cols], tfs
 
 
+def _decode_positions_batch(
+    blocks: list[dict], tfs: np.ndarray
+) -> np.ndarray:
+    """Decode the per-block position blobs → absolute within-doc token
+    offsets, one per token, aligned with the (doc, tf) decode order.
+    The stream restarts (absolute value) at every posting start, gap-1
+    deltas inside a posting — same padded-matrix row-cumsum trick as the
+    doc-delta decode."""
+    buf = b"".join(b["positions"] for b in blocks)
+    vals = varbyte_decode(buf).astype(np.int64)
+    n = len(tfs)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    w = vals + 1
+    w[starts] = vals[starts]
+    rows = np.repeat(np.arange(n), tfs)
+    cols = np.arange(len(vals)) - starts[rows]
+    mat = np.zeros((n, int(tfs.max())), dtype=np.int64)
+    mat[rows, cols] = w
+    return np.cumsum(mat, axis=1)[rows, cols]
+
+
+# phrase keys pack (doc_id, position) into one int64: doc_id << POS_BITS |
+# pos. POS_BITS matches the scorer's DL_BITS doc-length cap (2^20 tokens);
+# doc ids up to 2^43 fit alongside — the same envelope as the rest of the
+# index layout.
+POS_BITS = 20
+
+
 def _select_topk(
     cand: np.ndarray, scores: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -273,6 +302,9 @@ class IndexReader:
         self.bound_scale = max(1.0, self.avgdl / build_avgdl)
         self.term_buckets = int(st["term_buckets"])
         self.profile = st["profile"]
+        self.positions = (
+            bool(st["positions"]) if "positions" in st.__fields__ else False
+        )
         self._postings = spark.read.parquet(str(self.dir / "postings/data"))
         self._doclens = spark.read.parquet(str(self.dir / "doclens/data"))
         self._term_stats = spark.read.parquet(str(self.dir / "term_stats/data"))
@@ -377,6 +409,75 @@ class IndexReader:
 
         return postings.groupBy("segment_id").applyInPandas(
             collect_ids, out_schema
+        )
+
+    def phrase_docs(self, phrase: str) -> DataFrame:
+        """Exact phrase query (ES match_phrase) off the POSITIONAL index:
+        doc ids whose analyzed token stream contains the phrase's terms at
+        consecutive positions. Requires ``with_positions=True`` at build.
+
+        Per segment (same pruned read as ``search``): each query term's
+        postings+positions decode vectorized; verification packs
+        (doc_id << POS_BITS | pos) keys and intersects shifted key sets —
+        S ∩ (keys(t_i) − i) — so adjacency checks are numpy set ops, never
+        per-doc Python. Duplicate phrase terms just reuse one key set at
+        several offsets."""
+        if not self.positions:
+            raise ValueError(
+                "this index was built without positions "
+                "(IndexBuilder(with_positions=True)) — phrase queries need "
+                "the positional sidecar; see also the scan-path "
+                "fulltext_phrase_match for index-free corpora"
+            )
+        terms_seq = tokenize_py(phrase, self.profile)
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+        if not terms_seq:
+            return self.spark.createDataFrame([], out_schema)
+        if len(terms_seq) == 1:
+            return self.match_docs(terms_seq[0], "and")
+        uniq = sorted(set(terms_seq))
+        buckets = self._buckets_for(uniq)
+        postings = self._postings.where(
+            F.col("term_bucket").isin(list(set(buckets.values())))
+            & F.col("term").isin(uniq)
+        ).select(
+            "segment_id", "term", "first_doc_id", "count",
+            "doc_deltas", "tfs", "positions",
+        )
+        n_terms = len(uniq)
+        seq = list(terms_seq)
+
+        def collect_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys: dict[str, np.ndarray] = {}
+            for t, grp in pdf.groupby("term", sort=True):
+                blocks = [
+                    {"first_doc_id": int(f), "count": int(c),
+                     "doc_deltas": dd, "tfs": tf, "positions": ps}
+                    for f, c, dd, tf, ps in zip(
+                        grp["first_doc_id"], grp["count"],
+                        grp["doc_deltas"], grp["tfs"], grp["positions"],
+                    )
+                ]
+                ids, tfs_ = _decode_blocks_batch(blocks)
+                pos = _decode_positions_batch(blocks, tfs_)
+                doc_per_tok = np.repeat(ids, tfs_)
+                keys[t] = np.sort((doc_per_tok << POS_BITS) | pos)
+            if len(keys) < n_terms:
+                # a segment missing any phrase term has no matches
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            cand = keys[seq[0]]
+            for i, t in enumerate(seq[1:], start=1):
+                if not len(cand):
+                    break
+                cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
+            if not len(cand):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            return pd.DataFrame(
+                {"doc_id": np.unique(cand >> POS_BITS).astype(np.int64)}
+            )
+
+        return postings.groupBy("segment_id").applyInPandas(
+            collect_phrase, out_schema
         )
 
 

@@ -72,6 +72,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("max_impact", T.DoubleType(), False),
         T.StructField("doc_deltas", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        # per-block positions stream (phrase queries): for each posting in
+        # order, its tf within-doc token offsets, first absolute then gap-1
+        # deltas, varbyte — empty bytes when the index was built without
+        # positions
+        T.StructField("positions", T.BinaryType(), False),
     ]
 )
 
@@ -149,11 +154,22 @@ def _assemble_postings_arrow(
     packed = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
     doc_ids_all = packed >> DL_BITS
     dls_all = packed & DL_MASK
+    pos_all = (
+        tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "pos" in tbl.schema.names
+        else None
+    )
 
-    order = np.lexsort((doc_ids_all, codes))
+    if pos_all is None:
+        order = np.lexsort((doc_ids_all, codes))
+    else:
+        # positions ascending within each (term, doc) run — required for
+        # the gap encoding and the phrase verifier's sorted-key merge
+        order = np.lexsort((pos_all, doc_ids_all, codes))
     c_sorted = codes[order]
     d_sorted = doc_ids_all[order]
     l_sorted = dls_all[order]
+    pos_sorted = pos_all[order] if pos_all is not None else None
     tb_sorted = tbs[order] if tbs is not None else None
 
     # posting boundaries: first token of each (term, doc) run → tf counts
@@ -206,6 +222,24 @@ def _assemble_postings_arrow(
     doc_blobs = [doc_buf[doc_off[s] : doc_off[e]] for s, e in zip(b_starts, b_ends)]
     tf_blobs = [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(b_starts, b_ends)]
 
+    if pos_sorted is not None:
+        # token-level position stream: absolute at each posting start,
+        # gap-1 within a posting (positions strictly increase per posting)
+        prev_pos = np.empty(n_tok, dtype=np.int64)
+        prev_pos[0] = 0
+        prev_pos[1:] = pos_sorted[:-1]
+        pos_vals = np.where(is_start, pos_sorted, pos_sorted - prev_pos - 1)
+        pos_buf, pos_lens = varbyte_encode_with_lengths(pos_vals)
+        ptok_off = np.zeros(n_tok + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=ptok_off[1:])
+        pst_ext = np.append(p_start_tok, n_tok)
+        pos_blobs = [
+            pos_buf[ptok_off[pst_ext[s]] : ptok_off[pst_ext[e]]]
+            for s, e in zip(b_starts, b_ends)
+        ]
+    else:
+        pos_blobs = [b""] * len(b_starts)
+
     # per-block term linkage
     b_term_idx = np.searchsorted(t_starts, b_starts, side="right") - 1
     b_block_no = ((b_starts - t_starts[b_term_idx]) // BLOCK_SIZE).astype(np.int32)
@@ -232,6 +266,7 @@ def _assemble_postings_arrow(
             "max_impact": pa.array(b_max_impact),
             "doc_deltas": pa.array(doc_blobs, type=pa.binary()),
             "tfs": pa.array(tf_blobs, type=pa.binary()),
+            "positions": pa.array(pos_blobs, type=pa.binary()),
         }
     )
 
@@ -277,6 +312,7 @@ class IndexBuilder:
         term_coding: str = "strings",
         max_vocab_broadcast: int = 4_000_000,
         postings_partitions: int | None = None,
+        with_positions: bool = False,
     ):
         """``term_coding``:
 
@@ -301,6 +337,12 @@ class IndexBuilder:
         partition's token rows (~16 B/row in Arrow) fit executor memory —
         at 10^12 docs raise it with corpus size (tokens/partition ≈
         total_tokens / partitions).
+
+        ``with_positions``: store within-doc token offsets per posting
+        (gap-1 varbyte, per-block blobs) — enables exact index-backed
+        phrase queries (``IndexReader.phrase_docs``). Costs one extra int
+        per token in the shuffle and ~1 byte/token on disk; off by
+        default (ES analogue: index_options=docs|freqs vs positions).
         """
         if term_coding not in ("dict", "strings"):
             raise ValueError(f"unknown term_coding {term_coding!r}")
@@ -313,6 +355,7 @@ class IndexBuilder:
         self.term_coding = term_coding
         self.max_vocab_broadcast = max_vocab_broadcast
         self.postings_partitions = postings_partitions
+        self.with_positions = with_positions
         # delta builds start past the base index; must be a multiple of
         # docs_per_segment so segment ids never collide across a merge
         if doc_id_offset % docs_per_segment:
@@ -330,6 +373,7 @@ class IndexBuilder:
                 "id_buckets": self.id_buckets,
                 "doc_id_offset": self.doc_id_offset,
                 "id_col": self.id_col,
+                "positions": self.with_positions,
                 "source": fingerprint_extra,
                 "v": 2,  # v2: stats carry build_avgdl
             }
@@ -406,6 +450,7 @@ class IndexBuilder:
                     "docs_per_segment": pa.array([self.dps], pa.int64()),
                     "term_buckets": pa.array([self.term_buckets], pa.int32()),
                     "profile": pa.array([self.profile], pa.string()),
+                    "positions": pa.array([self.with_positions], pa.bool_()),
                 }
             )
             Path(tmp, "data").mkdir(parents=True)
@@ -432,6 +477,19 @@ class IndexBuilder:
             seg_key = (
                 F.shiftright(F.col("packed"), DL_BITS) / dps
             ).cast("long").alias("segment_id")
+
+            # token stream: positions ride along as ONE extra int column
+            # only when the index stores them
+            if self.with_positions:
+                pe = F.posexplode(tokenize_col("text", self.profile))
+                exploded = docs.select(packed_col, pe.alias("pos", "term"))
+                pos_cols = ["pos"]
+            else:
+                exploded = docs.select(
+                    packed_col,
+                    F.explode(tokenize_col("text", self.profile)).alias("term"),
+                )
+                pos_cols = []
 
             code_dict = None
             if self.term_coding == "dict":
@@ -478,14 +536,9 @@ class IndexBuilder:
                     )
                 )
                 tokens = (
-                    docs.select(
-                        packed_col,
-                        F.explode(tokenize_col("text", self.profile)).alias(
-                            "term"
-                        ),
-                    )
+                    exploded
                     .join(F.broadcast(vocab_map), "term")
-                    .select("packed", "code")
+                    .select("packed", "code", *pos_cols)
                 )
                 bucket_expr = F.pmod(F.col("code"), F.lit(B)).cast("int")
 
@@ -494,10 +547,7 @@ class IndexBuilder:
                         tbl, avgdl, dps, code_dict=bc.value, term_buckets=B
                     )
             else:
-                tokens = docs.select(
-                    packed_col,
-                    F.explode(tokenize_col("text", self.profile)).alias("term"),
-                ).withColumn(
+                tokens = exploded.withColumn(
                     "term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(B)).cast("int"),
                 )

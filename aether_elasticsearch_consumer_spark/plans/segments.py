@@ -46,10 +46,14 @@ def merge_indexes(
     """
     base, delta, out = Path(base_dir), Path(delta_dir), Path(out_dir)
     sb, sd = _read_stats(spark, base), _read_stats(spark, delta)
+    def _pos(row):
+        return bool(row["positions"]) if "positions" in row.__fields__ else False
+
     if (
         sb["docs_per_segment"] != sd["docs_per_segment"]
         or sb["term_buckets"] != sd["term_buckets"]
         or sb["profile"] != sd["profile"]
+        or _pos(sb) != _pos(sd)
     ):
         raise ValueError("cannot merge indexes with different layouts")
     fp = content_hash({"base": str(base), "delta": str(delta), "v": 2})
@@ -105,9 +109,9 @@ def merge_indexes(
         build_avgdl = min(_bavg(sb), _bavg(sd))
         spark.createDataFrame(
             [(n, avgdl, build_avgdl, int(sb["docs_per_segment"]),
-              int(sb["term_buckets"]), sb["profile"])],
+              int(sb["term_buckets"]), sb["profile"], _pos(sb))],
             "N long, avgdl double, build_avgdl double, docs_per_segment long,"
-            " term_buckets int, profile string",
+            " term_buckets int, profile string, positions boolean",
         ).coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
         return {"N": n, "avgdl": avgdl, "build_avgdl": build_avgdl}
 

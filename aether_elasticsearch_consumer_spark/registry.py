@@ -1085,6 +1085,26 @@ def fulltext_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_index_phrase",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE contains(' ' || array_to_string({_TOKS_SQL}, ' ') || ' ',
+                   ' table hash ')
+    ORDER BY doc_id
+    """,
+)
+def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase off the POSITIONAL inverted index: pruned postings
+    read + vectorized (doc<<POS_BITS|pos) key intersection per segment —
+    the at-scale phrase path (the scan path is fulltext_phrase_match,
+    same oracle)."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for_pos(spark, sf_dir)
+    return IndexReader(spark, idx).phrase_docs("table hash").orderBy("doc_id")
+
+
+@register(
     "fulltext_prefix_count",
     f"""
     WITH toks AS (
@@ -1129,6 +1149,21 @@ def _index_for(spark: SparkSession, sf_dir: str) -> str:
         spark, str(d), docs_per_segment=4096, term_buckets=8, id_col="doc_id"
     )
     builder.build(_docs(spark, sf_dir), fingerprint_extra={"sf": sf_dir})
+    return str(d)
+
+
+def _index_for_pos(spark: SparkSession, sf_dir: str) -> str:
+    """Positional variant of :func:`_index_for` (with_positions=True) —
+    backs the index-path phrase query."""
+    from .plans.index_build import IndexBuilder
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = _Path(_tempfile.gettempdir()) / f"aecs_docidxp_{key}"
+    builder = IndexBuilder(
+        spark, str(d), docs_per_segment=4096, term_buckets=8,
+        id_col="doc_id", with_positions=True,
+    )
+    builder.build(_docs(spark, sf_dir), fingerprint_extra={"sf": sf_dir, "pos": 1})
     return str(d)
 
 

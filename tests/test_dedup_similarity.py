@@ -253,3 +253,81 @@ class TestMultimodal:
         a_frames = [r for r in frames if r["key"] == "a"]
         assert len(a_frames) == 2
         assert all(len(r["frame"]) == 16 for r in a_frames)
+
+
+class TestRealImageDecode:
+    """PPM/BMP decode is REAL (pure numpy) — only compressed codecs stub."""
+
+    @staticmethod
+    def _ppm(w, h):
+        px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+        return (f"P6\n# comment\n{w} {h}\n255\n".encode() + px.tobytes()), px
+
+    @staticmethod
+    def _bmp(w, h):
+        px = (np.arange(w * h * 3, dtype=np.uint8) * 3 % 251).reshape(h, w, 3)
+        row_bytes = (w * 3 + 3) & ~3
+        pad = row_bytes - w * 3
+        body = b"".join(
+            px[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+        )
+        data_off = 54
+        header = (
+            b"BM" + (data_off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+            + data_off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return header + body, px
+
+    def test_ppm_roundtrip(self):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        buf, px = self._ppm(5, 3)
+        assert np.array_equal(decode_image(buf), px)
+
+    def test_bmp_roundtrip_with_padding(self):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        buf, px = self._bmp(3, 2)  # w=3 → 9 bytes/row → 3 pad bytes
+        assert np.array_equal(decode_image(buf), px)
+
+    def test_resize_nearest(self):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        small = resize_nearest(img, 2, 2)
+        assert small.tolist() == [[0, 2], [8, 10]]
+
+    def test_thumbnails_distributed(self, spark):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            thumbnails,
+        )
+
+        buf, px = self._ppm(16, 16)
+        buf2, _ = self._bmp(8, 8)
+        df = spark.createDataFrame(
+            [("a", bytearray(buf)), ("b", bytearray(buf2))],
+            "key string, img binary",
+        )
+        out = {r["key"]: r for r in thumbnails(df, "key", "img", 4, 4).collect()}
+        assert out["a"]["width"] == 4 and len(out["a"]["pixels"]) == 4 * 4 * 3
+        want = px[[0, 4, 8, 12]][:, [0, 4, 8, 12]].tobytes()
+        assert bytes(out["a"]["pixels"]) == want
+
+    def test_compressed_still_raises(self):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n....")
