@@ -411,6 +411,35 @@ class IndexReader:
             collect_ids, out_schema
         )
 
+    def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
+        """ES prefix-query term expansion off the term dictionary: the
+        term_stats sidecar is tiny relative to postings (one row per term)
+        and sorted by term within each bucket file, so the LIKE scan is a
+        metadata read, never a corpus scan. ``max_terms`` mirrors ES's
+        ``index.max_terms_count`` rewrite guard."""
+        rows = (
+            self._term_stats.where(F.col("term").startswith(prefix))
+            .select("term")
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"prefix {prefix!r} expands to more than {max_terms} terms "
+                "(raise max_terms, or use a longer prefix)"
+            )
+        return sorted(r["term"] for r in rows)
+
+    def prefix_docs(self, prefix: str, max_terms: int = 1024) -> DataFrame:
+        """Docs containing ANY term with the given prefix: dictionary
+        expansion + the same pruned OR posting union as ``match_docs``."""
+        terms = self.expand_prefix(prefix, max_terms)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("doc_id", T.LongType(), False)])
+            )
+        return self.match_docs(" ".join(terms), "or")
+
     def phrase_docs(self, phrase: str) -> DataFrame:
         """Exact phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at

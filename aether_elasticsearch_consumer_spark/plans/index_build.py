@@ -570,8 +570,15 @@ class IndexBuilder:
             # form breaks term runs at segment boundaries, so output
             # blocks are identical). Measured: ~20% postings-stage wall
             # at 32 CPUs, better width-scaling (BENCH/BASELINE.md).
+            # Partition count scales with DATA (total tokens are known
+            # from the stats stage — N × avgdl), capped at ~2M tokens per
+            # assembly task so the per-task Arrow buffer + lexsort stay
+            # cache-friendly; a fixed count went 1.9× sublinear at 1M docs.
+            total_tokens = int(st["N"] * avgdl)
             n_parts = self.postings_partitions or max(
-                48, 3 * self.spark.sparkContext.defaultParallelism
+                48,
+                3 * self.spark.sparkContext.defaultParallelism,
+                -(-total_tokens // 2_000_000),
             )
             (
                 tokens.repartition(n_parts, seg_key, bucket_expr)

@@ -1115,15 +1115,14 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fulltext_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES prefix query: docs containing any analyzed term with the prefix."""
-    d = _docs(spark, sf_dir)
+    """ES prefix query off the index: term-dictionary expansion (the
+    term_stats sidecar — a metadata read) + pruned OR posting union. A doc
+    lives in exactly one segment, so the per-segment unions are globally
+    distinct."""
     return (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(tokenize_col("text"))).alias("term"),
-        )
-        .where(F.col("term").startswith("shuf"))
-        .agg(F.countDistinct("doc_id").alias("cnt"))
+        _reader_for(spark, sf_dir)
+        .prefix_docs("shuf")
+        .agg(F.count("*").alias("cnt"))
     )
 
 

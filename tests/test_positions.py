@@ -119,3 +119,17 @@ def test_scoring_unaffected_by_positions(spark, pos_index, tmp_path_factory):
         a = [(r["doc_id"], r["score"]) for r in reader.search(q, k=10).collect()]
         c = [(r["doc_id"], r["score"]) for r in plain.search(q, k=10).collect()]
         assert a == c, q
+
+
+def test_prefix_expansion_and_docs(spark, pos_index):
+    reader, docs = pos_index
+    terms = reader.expand_prefix("ke")
+    assert terms and all(t.startswith("ke") for t in terms)
+    got = {r["doc_id"] for r in reader.prefix_docs("ke").collect()}
+    want = {
+        d for d, text in docs
+        if any(t.startswith("ke") for t in tokenize_py(text))
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="expands"):
+        reader.expand_prefix("", max_terms=3)
