@@ -63,7 +63,11 @@ def merge_indexes(
         def stage(tmp: str) -> dict:
             a = spark.read.parquet(str(base / name / "data"))
             b = spark.read.parquet(str(delta / name / "data"))
-            w = a.unionByName(b).write.mode("overwrite")
+            # schema evolution across index format versions: a pre-v3 base
+            # has no `positions` column; missing columns fill NULL, which
+            # readers only touch when the positions flag is set (and the
+            # layout check above already rejects mixed-flag merges)
+            w = a.unionByName(b, allowMissingColumns=True).write.mode("overwrite")
             if name == "postings":
                 w = w.partitionBy("term_bucket")
             w.parquet(tmp + "/data")

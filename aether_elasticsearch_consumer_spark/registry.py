@@ -1054,6 +1054,58 @@ def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_terms_with_metrics",
+    """
+    SELECT event_type, count(*)::BIGINT AS cnt,
+           round(avg(value), 6) AS avg_value,
+           round(max(value), 6) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 5
+    """,
+)
+def agg_terms_with_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sub-aggregation shape: a `terms` bucket with nested `avg`/`max`
+    metrics per bucket — one two-phase hash aggregation, metrics computed
+    alongside the count (never a per-bucket second pass)."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@register(
+    "agg_date_histogram_with_metric",
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+           count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_date_histogram_with_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram bucket + nested sum metric (the standard Kibana
+    line-chart query)."""
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # Phrase / prefix queries (ES match_phrase & prefix, analyzed-token exact)
 # --------------------------------------------------------------------------

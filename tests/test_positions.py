@@ -133,3 +133,37 @@ def test_prefix_expansion_and_docs(spark, pos_index):
     assert got == want
     with pytest.raises(ValueError, match="expands"):
         reader.expand_prefix("", max_terms=3)
+
+
+def test_phrase_after_positional_merge(spark, tmp_path_factory):
+    """Positional base + positional delta merge: phrase matching stays
+    exact across the merged doc-id ranges (block blobs union verbatim)."""
+    from aether_elasticsearch_consumer_spark.plans.segments import (
+        merge_indexes,
+        next_doc_id_offset,
+    )
+
+    root = tmp_path_factory.mktemp("posmerge")
+    full = webtext_df(spark, 300, partitions=4).cache()
+    page = "cast(substring(url, length(url) - 7, 8) as int)"
+    base_src = full.where(f"{page} < 200")
+    delta_src = full.where(f"{page} >= 200")
+    kw = dict(docs_per_segment=64, term_buckets=4, with_positions=True)
+    IndexBuilder(spark, str(root / "b"), **kw).build(base_src, fingerprint_extra="pb")
+    off = next_doc_id_offset(spark, str(root / "b"))
+    IndexBuilder(spark, str(root / "d"), doc_id_offset=off, **kw).build(
+        delta_src, fingerprint_extra="pd")
+    merge_indexes(spark, str(root / "b"), str(root / "d"), str(root / "m"))
+    reader = IndexReader(spark, str(root / "m"))
+    assert reader.positions is True
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(root / "m/docs/data"))
+        .select("doc_id", "text").collect()
+    ]
+    toks = tokenize_py(docs[-1][1])  # a delta-side doc
+    phrase = " ".join(toks[5:7])
+    got = {r["doc_id"] for r in reader.phrase_docs(phrase).collect()}
+    assert got == _scan_phrase(docs, phrase)
+    assert any(d >= off for d in got)  # matches exist on the delta side
+    full.unpersist()
