@@ -470,37 +470,74 @@ class IndexReader:
             F.col("term_bucket").isin(list(set(buckets.values())))
             & F.col("term").isin(uniq)
         ).select(
-            "segment_id", "term", "first_doc_id", "count",
+            "segment_id", "term", "first_doc_id", "last_doc_id", "count",
             "doc_deltas", "tfs", "positions",
         )
         n_terms = len(uniq)
         seq = list(terms_seq)
 
         def collect_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
-            keys: dict[str, np.ndarray] = {}
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            # phase 1: doc-id-only decode per term → candidate docs =
+            # AND intersection. Positions never decode for docs that miss
+            # any term (head-term phrases skip most of their blocks).
+            per_term: dict[str, tuple[list[dict], np.ndarray, np.ndarray]] = {}
             for t, grp in pdf.groupby("term", sort=True):
                 blocks = [
-                    {"first_doc_id": int(f), "count": int(c),
-                     "doc_deltas": dd, "tfs": tf, "positions": ps}
-                    for f, c, dd, tf, ps in zip(
-                        grp["first_doc_id"], grp["count"],
-                        grp["doc_deltas"], grp["tfs"], grp["positions"],
+                    {"first_doc_id": int(f), "last_doc_id": int(l),
+                     "count": int(c), "doc_deltas": dd, "tfs": tf,
+                     "positions": ps}
+                    for f, l, c, dd, tf, ps in zip(
+                        grp["first_doc_id"], grp["last_doc_id"],
+                        grp["count"], grp["doc_deltas"], grp["tfs"],
+                        grp["positions"],
                     )
                 ]
                 ids, tfs_ = _decode_blocks_batch(blocks)
-                pos = _decode_positions_batch(blocks, tfs_)
-                doc_per_tok = np.repeat(ids, tfs_)
-                keys[t] = np.sort((doc_per_tok << POS_BITS) | pos)
-            if len(keys) < n_terms:
+                per_term[t] = (blocks, ids, tfs_)
+            if len(per_term) < n_terms:
                 # a segment missing any phrase term has no matches
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                return empty
+            uniq_sorted = sorted(per_term)
+            cand_docs = np.unique(per_term[uniq_sorted[0]][1])
+            for t in uniq_sorted[1:]:
+                cand_docs = np.intersect1d(
+                    cand_docs, per_term[t][1], assume_unique=False
+                )
+                if not len(cand_docs):
+                    return empty
+
+            # phase 2: decode positions ONLY for blocks whose doc range
+            # overlaps a candidate (block-max-style skipping), keep only
+            # candidate docs' tokens, then verify adjacency via shifted
+            # (doc << POS_BITS | pos) key-set intersection
+            keys: dict[str, np.ndarray] = {}
+            for t, (blocks, _, _) in per_term.items():
+                firsts = np.fromiter(
+                    (b["first_doc_id"] for b in blocks), np.int64, len(blocks)
+                )
+                lasts = np.fromiter(
+                    (b["last_doc_id"] for b in blocks), np.int64, len(blocks)
+                )
+                idx = np.searchsorted(cand_docs, firsts)
+                keep = (idx < len(cand_docs)) & (
+                    cand_docs[np.minimum(idx, len(cand_docs) - 1)] <= lasts
+                )
+                kept = [b for b, k in zip(blocks, keep) if k]
+                if not kept:
+                    return empty
+                ids, tfs_ = _decode_blocks_batch(kept)
+                pos = _decode_positions_batch(kept, tfs_)
+                doc_per_tok = np.repeat(ids, tfs_)
+                m = np.isin(doc_per_tok, cand_docs, assume_unique=False)
+                keys[t] = np.sort((doc_per_tok[m] << POS_BITS) | pos[m])
             cand = keys[seq[0]]
             for i, t in enumerate(seq[1:], start=1):
                 if not len(cand):
                     break
                 cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
             if not len(cand):
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+                return empty
             return pd.DataFrame(
                 {"doc_id": np.unique(cand >> POS_BITS).astype(np.int64)}
             )
