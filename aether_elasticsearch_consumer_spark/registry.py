@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.bm25 import bm25_duckdb_sql
-from .functions.tokenizer import ASCII_TOKEN_RE, tokenize_col, tokenize_duckdb_sql
+from .functions.tokenizer import tokenize_col, tokenize_duckdb_sql
 from .operators.topk import naive_bm25_topk
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]

@@ -49,3 +49,81 @@ def stream_ingest(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_index(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    live_index_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    **builder_kwargs,
+):
+    """Continuous INDEXING: the stream's micro-batches become delta
+    indexes merged into the live index — the full engine analogue of the
+    reference's consume→index loop (artifacts.py:338-401), end to end.
+
+    Each batch: build a delta index at the next disjoint doc-id offset
+    (fingerprinted on batch_id, so a replayed batch resumes its own
+    checkpoints instead of double-indexing — the same idempotency the
+    reference gets from doc-id upsert), merge into ``live``, and atomically
+    repoint the ``live`` symlink. Readers opening the index between
+    batches always see a complete committed index.
+
+    Returns the streaming query; the current index path is
+    ``{live_index_dir}`` (a symlink under the hood).
+    """
+    import os
+    from pathlib import Path
+
+    from ..plans.index_build import IndexBuilder
+    from ..plans.segments import merge_indexes, next_doc_id_offset
+
+    live = Path(live_index_dir)
+    work = Path(work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+
+    def handle_batch(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        if not live.exists():
+            # first batch bootstraps the index
+            first = work / f"batch_{batch_id}"
+            IndexBuilder(spark, str(first), **builder_kwargs).build(
+                batch_df, fingerprint_extra={"batch": batch_id}
+            )
+            tmp_link = work / ".live_tmp"
+            if tmp_link.is_symlink():
+                tmp_link.unlink()
+            tmp_link.symlink_to(first.resolve())
+            os.replace(tmp_link, live)
+            return
+        off = next_doc_id_offset(spark, str(live))
+        delta = work / f"batch_{batch_id}"
+        IndexBuilder(
+            spark, str(delta), doc_id_offset=off, **builder_kwargs
+        ).build(batch_df, fingerprint_extra={"batch": batch_id})
+        merged = work / f"merged_{batch_id}"
+        merge_indexes(spark, str(os.path.realpath(live)), str(delta), str(merged))
+        tmp_link = work / ".live_tmp"
+        if tmp_link.is_symlink():
+            tmp_link.unlink()
+        tmp_link.symlink_to(merged.resolve())
+        os.replace(tmp_link, live)  # atomic repoint
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

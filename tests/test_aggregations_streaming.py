@@ -179,3 +179,60 @@ class TestMetricAggFamily:
             "big": F.col("value") > 100,
         }).collect()[0]
         assert r["clicks"] == 3 and r["big"] == 2
+
+
+def test_stream_index_continuous(spark, tmp_path):
+    """Continuous indexing: two arrival waves → two micro-batches → the
+    live index is always a complete committed index and ends up
+    search-equivalent to a monolithic build over everything."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.oracle.engine import (
+        build_oracle_index,
+        score_query,
+    )
+    from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
+        stream_index,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    full = webtext_df(spark, 200, partitions=2).cache()
+    page = "cast(substring(url, length(url) - 7, 8) as int)"
+    full.where(f"{page} < 120").coalesce(1).write.mode("overwrite").parquet(
+        str(incoming / "wave1")
+    )
+    schema = spark.read.parquet(str(incoming / "wave1")).schema
+    live = tmp_path / "live"
+    kw = dict(docs_per_segment=64, term_buckets=4)
+
+    def run():
+        stream_index(
+            spark, str(incoming / "*"), schema, str(live), str(tmp_path / "wk"),
+            str(tmp_path / "ckpt"), max_files_per_trigger=1, **kw,
+        )
+
+    run()
+    r1 = IndexReader(spark, str(live))
+    assert r1.N == 120
+    # second wave arrives; the SAME checkpointed stream picks up only it
+    full.where(f"{page} >= 120").coalesce(1).write.mode("overwrite").parquet(
+        str(incoming / "wave2")
+    )
+    run()
+    r2 = IndexReader(spark, str(live))
+    assert r2.N == 200
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(live) + "/docs/data")
+        .select("doc_id", "text").collect()
+    ]
+    oracle = build_oracle_index(docs)
+    for q in ["keta", "ba ke", "the"]:
+        got = [(r["doc_id"], r["score"]) for r in r2.search(q, k=10).collect()]
+        want = score_query(oracle, q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+    # replaying with the same checkpoint is a no-op (idempotent)
+    run()
+    assert IndexReader(spark, str(live)).N == 200
+    full.unpersist()

@@ -41,3 +41,44 @@ def test_naive_matches_oracle_on_random_corpora(spark, corpus, query, k):
     assert [g[0] for g in got] == [w[0] for w in want], (corpus, query, k)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, abs=1e-9)
+
+
+class TestPositionCodecProperty:
+    """Positions round-trip: encode (absolute-at-posting-start, gap-1
+    within) → block blobs → decode must reproduce the original offsets for
+    arbitrary posting shapes."""
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 1 << 19), min_size=1, max_size=20,
+                     unique=True),
+            min_size=1, max_size=30,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, postings):
+        import numpy as np
+
+        from aether_elasticsearch_consumer_spark.functions.codec import (
+            varbyte_encode_with_lengths,
+        )
+        from aether_elasticsearch_consumer_spark.operators.topk import (
+            _decode_positions_batch,
+        )
+
+        postings = [sorted(p) for p in postings]
+        tfs = np.array([len(p) for p in postings], dtype=np.int64)
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in postings])
+        starts = np.zeros(len(tfs), dtype=np.int64)
+        np.cumsum(tfs[:-1], out=starts[1:])
+        prev = np.empty(len(flat), dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = flat[:-1]
+        is_start = np.zeros(len(flat), dtype=bool)
+        is_start[starts] = True
+        vals = np.where(is_start, flat, flat - prev - 1)
+        buf, _ = varbyte_encode_with_lengths(vals)
+        got = _decode_positions_batch(
+            [{"positions": bytes(buf)}], tfs
+        )
+        assert got.tolist() == flat.tolist()
