@@ -1218,16 +1218,18 @@ def _index_for_pos(spark: SparkSession, sf_dir: str) -> str:
     return str(d)
 
 
-_READERS: dict[tuple[int, str], object] = {}
+_READERS: dict[tuple[str, str], object] = {}
 
 
 def _reader_for(spark: SparkSession, sf_dir: str):
-    """IndexReader cached per (session, sf_dir) — the reader holds the
+    """IndexReader cached per (application, sf_dir) — the reader holds the
     stats row and source DataFrames, so file listings and the checkpointed
-    build() no-op aren't repeated per registry call."""
+    build() no-op aren't repeated per registry call. Keyed by
+    applicationId (NOT id(spark): a recycled object id could hand a new
+    session a dead session's DataFrames)."""
     from .operators.topk import IndexReader
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _READERS:
         _READERS[key] = IndexReader(spark, _index_for(spark, sf_dir))
     return _READERS[key]
