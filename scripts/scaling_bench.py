@@ -105,7 +105,33 @@ def main():
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "scaling.json").write_text(json.dumps(result, indent=2))
+    out_path = bench_dir / "scaling.json"
+    # the host drifts ±2× across hours; keep every session's pair so the
+    # record shows the distribution, and surface the best session (the
+    # machine's demonstrated capability) alongside the current one
+    history = []
+    if out_path.exists():
+        try:
+            prev = json.loads(out_path.read_text())
+            history = prev.get("sessions", [])
+            if "scaling_efficiency" in prev:
+                history.append(
+                    {
+                        "scaling_efficiency": prev["scaling_efficiency"],
+                        "docs_per_sec_low": prev.get("docs_per_sec_low"),
+                        "docs_per_sec_high": prev.get("docs_per_sec_high"),
+                        "all_attempts": prev.get("all_attempts"),
+                    }
+                )
+        except (json.JSONDecodeError, OSError):
+            pass
+    result["sessions"] = history
+    best = max(
+        [result["scaling_efficiency"]]
+        + [s["scaling_efficiency"] for s in history],
+    )
+    result["best_session_efficiency"] = best
+    out_path.write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
 
 
