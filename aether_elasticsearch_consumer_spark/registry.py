@@ -452,10 +452,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_sql() -> str:
+def _lang_case_sql(toks_expr: str) -> str:
+    """The lang-id decision as a SQL expression over a token-list expr —
+    shared between the standalone entry and pipeline compositions."""
     score = {
         lang: (
-            f"len(list_intersect(list_distinct({_TOKS_SQL}), "
+            f"len(list_intersect(list_distinct({toks_expr}), "
             f"{[w for w in words]}))"
         )
         for lang, words in LANG_STOPWORDS.items()
@@ -464,9 +466,24 @@ def _lang_sql() -> str:
     cases = " ".join(
         f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in sorted(score)
     )
+    return f"CASE WHEN {best} > 0 THEN (CASE {cases} END) ELSE 'und' END"
+
+
+def _quality_expr_sql(toks: str, alpha: str, n_chars: str) -> str:
+    """The quality formula as a SQL expression over precomputed columns —
+    must stay in lockstep with operators/textstats.quality_score."""
+    return f"""round(
+        0.3 * least(len({toks}) / 200.0, 1.0)
+        + 0.3 * (CASE WHEN {n_chars} > 0 THEN {alpha} / {n_chars} ELSE 0.0 END)
+        + 0.2 * least(len(list_intersect(list_distinct({toks}),
+            ['the','of','and','to','in','is','that','for','with','this'])) / 5.0, 1.0)
+        + 0.2 * (CASE WHEN len({toks}) > 0 AND {alpha} / len({toks}) BETWEEN 3 AND 10
+                 THEN 1.0 ELSE 0.5 END), 6)"""
+
+
+def _lang_sql() -> str:
     return f"""
-    SELECT doc_id,
-           CASE WHEN {best} > 0 THEN (CASE {cases} END) ELSE 'und' END AS lang_guess
+    SELECT doc_id, {_lang_case_sql(_TOKS_SQL)} AS lang_guess
     FROM documents ORDER BY doc_id
     """
 
@@ -950,6 +967,75 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
     return spark.createDataFrame(
         [(semi, anti)], "with_orders long, without_orders long"
+    )
+
+
+@register(
+    "pipeline_training_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks,
+             len(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE AS alpha,
+             len(text)::DOUBLE AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             {_quality_expr_sql('toks', 'alpha', 'n_chars')} AS quality,
+             {_lang_case_sql('toks')} AS lg
+      FROM t
+    ),
+    keep AS (
+      SELECT doc_id, text FROM scored WHERE lg = 'en' AND quality >= 0.6
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)),
+    kept AS (SELECT k.doc_id, k.text FROM keep k JOIN ex ON k.doc_id = ex.doc_id),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+             )) AS grams
+      FROM kept
+    ),
+    neardup AS (
+      SELECT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= 0.5
+    )
+    SELECT doc_id FROM kept
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    ORDER BY doc_id
+    """,
+)
+def pipeline_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline as ONE composed plan:
+    language filter (en) → quality floor (≥ 0.6) → exact dedup (min-id per
+    md5) → near-dup removal (3-gram Jaccard ≥ 0.5 via MinHash-LSH
+    candidates, lower id wins). Each stage is the registered operator —
+    nothing re-implemented — and the whole pipeline stays lazy: Catalyst
+    sees one plan (filters push into the scan, the LSH shuffle runs over
+    the already-filtered survivor set)."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", "text",
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lg"),
+    )
+    keep = scored.where(
+        (F.col("lg") == "en") & (F.col("q") >= 0.6)
+    ).select("doc_id", "text")
+    survivors = exact_dedup(keep, ["text"], "doc_id")
+    pairs = minhash_lsh_pairs(
+        survivors, "doc_id", "text",
+        n_hashes=64, bands=32, jaccard_threshold=0.5, hashed=False,
+    )
+    return (
+        survivors.join(
+            pairs.select(F.col("id_b").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
