@@ -971,6 +971,41 @@ def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "autoviz_generated_table",
+    """
+    WITH k AS (SELECT coalesce(event_type, '__missing__') AS key FROM events),
+    c AS (SELECT key, count(*)::BIGINT AS cnt FROM k GROUP BY key),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, key ASC LIMIT 10)
+    SELECT key, cnt FROM top
+    UNION ALL
+    SELECT * FROM (
+      SELECT '__other__' AS key,
+             ((SELECT sum(cnt) FROM c) - (SELECT sum(cnt) FROM top))::BIGINT AS cnt
+    ) WHERE cnt > 0
+    """,
+)
+def autoviz_generated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A VisSpec GENERATED from a schema annotation executes as a real
+    Catalyst plan: @aether_default_visualization='table' → the TableText
+    terms agg (size 10, other+missing buckets) the reference would post to
+    Kibana (visualization.py:292-309) — here the dashboard query itself."""
+    from .operators.autoviz import schema_defined_visualizations
+
+    schema = {
+        "name": "events",
+        "type": "record",
+        "fields": [
+            {"name": "event_type", "type": "string",
+             "@aether_default_visualization": "table"},
+        ],
+    }
+    specs = schema_defined_visualizations("events", schema)
+    (spec,) = specs.values()
+    assert spec.vis_type == "TableText"
+    return spec.build(_events(spark, sf_dir))
+
+
+@register(
     "pipeline_training_filter",
     f"""
     WITH t AS (

@@ -1,0 +1,88 @@
+"""Physical-plan contracts: the pruning/broadcast properties the scale
+story depends on, asserted on the actual executed plans (not docstrings).
+
+- a term query's postings scan must carry a PartitionFilter on
+  term_bucket (directory pruning to 1/B of files) and a pushed term
+  filter (row-group min/max pruning);
+- the per-query df lookup joins via broadcast, never a shuffle;
+- ANN index queries list only the probed partition directories.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("planprops")
+    IndexBuilder(
+        spark, str(root / "idx"), docs_per_segment=128, term_buckets=8
+    ).build(webtext_df(spark, 300, partitions=4), fingerprint_extra="pp")
+    return IndexReader(spark, str(root / "idx"))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_search_plan_prunes_and_broadcasts(reader):
+    plan = _plan(reader.search("keta gera", k=5))
+    # directory pruning: the scan's PartitionFilters must constrain
+    # term_bucket (never a full-directory listing)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
+    # row-group pruning: the term predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "term" in pushed and ("In(" in pushed or "EqualTo" in pushed)
+    # the df lookup folds in as a broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_match_docs_plan_prunes(reader):
+    plan = _plan(reader.match_docs("keta gera", "or"))
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucket_pruning_reads_file_subset(reader):
+    # driver-side xxhash64 pruning: a single-term query's candidate files
+    # must be a strict subset of the postings files (1/B of directories)
+    terms = ["keta"]
+    buckets = reader._buckets_for(terms)
+    import glob
+
+    all_files = glob.glob(str(reader.dir / "postings/data/term_bucket=*/*.parquet"))
+    pruned = glob.glob(
+        str(reader.dir / f"postings/data/term_bucket={list(buckets.values())[0]}/*.parquet")
+    )
+    assert 0 < len(pruned) < len(all_files)
+
+
+def test_ann_query_lists_probed_dirs_only(spark, tmp_path_factory):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.plans.ann_index import LshAnnIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = tmp_path_factory.mktemp("annplan")
+    idx = LshAnnIndex.build(spark, emb, str(d / "i"), n_planes=16, prefix_bits=6)
+    q = np.array(
+        emb.where(F.col("vec_id") == 3).collect()[0]["embedding"], dtype=float
+    )
+    probed = idx.probe_paths(q, max_hamming=1)
+    cand = idx.spark.read.option("basePath", str(idx.dir / "data")).parquet(*probed)
+    files = cand.inputFiles()
+    assert files and all(any(p in f for p in probed) for f in files)
+    # and it IS a strict subset of the index
+    import glob
+
+    all_files = glob.glob(str(idx.dir / "data/sig_prefix=*/*.parquet"))
+    assert len(files) < len(all_files)
