@@ -430,6 +430,60 @@ class IndexReader:
             )
         return sorted(r["term"] for r in rows)
 
+    def _docs_for_terms(self, terms: list[str]) -> DataFrame:
+        if not terms:
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("doc_id", T.LongType(), False)])
+            )
+        return self.match_docs(" ".join(terms), "or")
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1, max_terms: int = 1024
+    ) -> list[str]:
+        """ES fuzzy-query term expansion: dictionary terms within
+        ``max_edits`` Levenshtein of the needle. JVM levenshtein over the
+        term_stats sidecar with a length-window prefilter (|len diff| ≤
+        max_edits) so the distance only computes on plausible terms."""
+        t = F.lit(term)
+        rows = (
+            self._term_stats.where(
+                (F.abs(F.length("term") - F.length(t)) <= max_edits)
+                & (F.levenshtein(F.col("term"), t) <= max_edits)
+            )
+            .select("term")
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(f"fuzzy {term!r} expands past {max_terms} terms")
+        return sorted(r["term"] for r in rows)
+
+    def fuzzy_docs(self, term: str, max_edits: int = 1,
+                   max_terms: int = 1024) -> DataFrame:
+        """Docs containing any dictionary term within ``max_edits`` of the
+        needle — expansion + the pruned OR posting union."""
+        return self._docs_for_terms(self.expand_fuzzy(term, max_edits, max_terms))
+
+    def expand_wildcard(self, pattern: str, max_terms: int = 1024) -> list[str]:
+        """ES wildcard-query term expansion: ``*`` = any run, ``?`` = one
+        char, translated to a SQL LIKE over the term dictionary."""
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            .replace("*", "%").replace("?", "_")
+        )
+        rows = (
+            self._term_stats.where(F.col("term").like(like))
+            .select("term")
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(f"wildcard {pattern!r} expands past {max_terms} terms")
+        return sorted(r["term"] for r in rows)
+
+    def wildcard_docs(self, pattern: str, max_terms: int = 1024) -> DataFrame:
+        return self._docs_for_terms(self.expand_wildcard(pattern, max_terms))
+
     def prefix_docs(self, prefix: str, max_terms: int = 1024) -> DataFrame:
         """Docs containing ANY term with the given prefix: dictionary
         expansion + the same pruned OR posting union as ``match_docs``."""
@@ -440,7 +494,44 @@ class IndexReader:
             )
         return self.match_docs(" ".join(terms), "or")
 
-    def phrase_docs(self, phrase: str) -> DataFrame:
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """SCORED phrase query (ES match_phrase): candidates come from the
+        positional verifier with their phrase frequency (number of phrase
+        start positions), then BM25 scores the phrase as if it were a
+        term — tf = phrase freq, df = number of matching docs — entirely
+        in Catalyst on the (tiny) match set: idf folds in via a window
+        count, doc lengths join from the docs sidecar, constants (N,
+        avgdl) ride the plan. Determinism contract as everywhere:
+        float64, 9-dp round, (score desc, doc_id asc)."""
+        matches = self.phrase_docs(phrase, with_freq=True)
+        docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
+            "doc_id", "doc_len"
+        )
+        from pyspark.sql import Window
+
+        from ..functions.bm25 import bm25_cols
+
+        scored = (
+            matches.join(docs, "doc_id")
+            .withColumn("_df", F.count("*").over(Window.partitionBy()))
+            .withColumn(
+                "score",
+                F.round(
+                    bm25_cols(
+                        F.col("phrase_freq"),
+                        F.col("_df"),
+                        F.col("doc_len"),
+                        F.lit(self.N),
+                        F.lit(self.avgdl),
+                    ),
+                    9,
+                ),
+            )
+            .select("doc_id", "score")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def phrase_docs(self, phrase: str, with_freq: bool = False) -> DataFrame:
         """Exact phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at
         consecutive positions. Requires ``with_positions=True`` at build.
@@ -459,10 +550,15 @@ class IndexReader:
                 "fulltext_phrase_match for index-free corpora"
             )
         terms_seq = tokenize_py(phrase, self.profile)
-        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+        fields = [T.StructField("doc_id", T.LongType(), False)]
+        if with_freq:
+            # phrase frequency = number of phrase start positions — the tf
+            # that ES match_phrase feeds into BM25
+            fields.append(T.StructField("phrase_freq", T.LongType(), False))
+        out_schema = T.StructType(fields)
         if not terms_seq:
             return self.spark.createDataFrame([], out_schema)
-        if len(terms_seq) == 1:
+        if len(terms_seq) == 1 and not with_freq:
             return self.match_docs(terms_seq[0], "and")
         uniq = sorted(set(terms_seq))
         buckets = self._buckets_for(uniq)
@@ -477,7 +573,10 @@ class IndexReader:
         seq = list(terms_seq)
 
         def collect_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            empty_cols = {"doc_id": pd.Series(dtype="int64")}
+            if with_freq:
+                empty_cols["phrase_freq"] = pd.Series(dtype="int64")
+            empty = pd.DataFrame(empty_cols)
             # phase 1: doc-id-only decode per term → candidate docs =
             # AND intersection. Positions never decode for docs that miss
             # any term (head-term phrases skip most of their blocks).
@@ -538,9 +637,11 @@ class IndexReader:
                 cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
             if not len(cand):
                 return empty
-            return pd.DataFrame(
-                {"doc_id": np.unique(cand >> POS_BITS).astype(np.int64)}
-            )
+            match_docs_arr, freqs = np.unique(cand >> POS_BITS, return_counts=True)
+            out = {"doc_id": match_docs_arr.astype(np.int64)}
+            if with_freq:
+                out["phrase_freq"] = freqs.astype(np.int64)
+            return pd.DataFrame(out)
 
         return postings.groupBy("segment_id").applyInPandas(
             collect_phrase, out_schema

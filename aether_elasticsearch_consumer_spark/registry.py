@@ -1278,6 +1278,38 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_phrase_scored",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS doc_len,
+             len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> toks[i] = 'table' AND toks[i + 1] = 'hash'))::BIGINT AS tf
+      FROM t
+    ),
+    hits AS (SELECT * FROM m WHERE tf > 0),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM m),
+    dfc AS (SELECT count(*)::BIGINT AS df FROM hits)
+    SELECT h.doc_id AS doc_id,
+           round({bm25_duckdb_sql('h.tf', 'dfc.df', 'h.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS score
+    FROM hits h, dfc, stats
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase SCORING: the phrase acts as a single BM25 term —
+    tf = phrase frequency (number of start positions, overlaps counted),
+    df = matching docs — computed off the positional index, scored in
+    Catalyst on the match set. The oracle counts phrase starts positionally
+    over the token list (a substring replace-count would miss overlapping
+    occurrences at shared token boundaries)."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for_pos(spark, sf_dir)
+    return IndexReader(spark, idx).search_phrase("table hash", k=10)
+
+
+@register(
     "fulltext_prefix_count",
     f"""
     WITH toks AS (
@@ -1295,6 +1327,48 @@ def fulltext_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _reader_for(spark, sf_dir)
         .prefix_docs("shuf")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "fulltext_fuzzy_count",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents
+    )
+    SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM toks
+    WHERE levenshtein(term, 'window') <= 1
+    """,
+)
+def fulltext_fuzzy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query off the index: dictionary expansion by Levenshtein
+    distance (JVM levenshtein over the term_stats sidecar with a
+    length-window prefilter) + pruned OR posting union. 'window' ~1 edit
+    covers 'window' and friends."""
+    return (
+        _reader_for(spark, sf_dir)
+        .fuzzy_docs("window", max_edits=1)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "fulltext_wildcard_count",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents
+    )
+    SELECT count(DISTINCT doc_id)::BIGINT AS cnt FROM toks
+    WHERE term LIKE '%indo%'
+    """,
+)
+def fulltext_wildcard_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query off the index: *indo* → LIKE over the term
+    dictionary, then the pruned OR posting union."""
+    return (
+        _reader_for(spark, sf_dir)
+        .wildcard_docs("*indo*")
         .agg(F.count("*").alias("cnt"))
     )
 

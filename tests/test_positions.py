@@ -167,3 +167,38 @@ def test_phrase_after_positional_merge(spark, tmp_path_factory):
     assert got == _scan_phrase(docs, phrase)
     assert any(d >= off for d in got)  # matches exist on the delta side
     full.unpersist()
+
+
+def test_fuzzy_and_wildcard_expansion(spark, pos_index):
+    reader, docs = pos_index
+    vocab = {t for _, text in docs for t in tokenize_py(text)}
+    needle = sorted(vocab)[len(vocab) // 2]
+
+    def edits1(a, b):
+        # quick Levenshtein<=1 check
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l = (a, b) if la < lb else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1:] == s:
+                return True
+        return False
+
+    got = set(reader.expand_fuzzy(needle, max_edits=1))
+    want = {t for t in vocab if edits1(t, needle)}
+    assert got == want and needle in got
+
+    pat = needle[:2] + "*"
+    got_w = set(reader.expand_wildcard(pat))
+    assert got_w == {t for t in vocab if t.startswith(needle[:2])}
+    # docs returned match a scan
+    ids = {r["doc_id"] for r in reader.fuzzy_docs(needle, 1).collect()}
+    want_ids = {
+        d for d, text in docs if any(edits1(t, needle) for t in tokenize_py(text))
+    }
+    assert ids == want_ids
