@@ -209,6 +209,89 @@ def range_agg(
     ).orderBy("bucket")
 
 
+def top_hits_agg(
+    df: DataFrame,
+    bucket_field: str,
+    sort_field: str,
+    k: int = 3,
+    tiebreak_field: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES `top_hits` sub-aggregation: the k best rows per bucket by a sort
+    field — a bounded window rank (per-partition partial top-k under AQE),
+    never a per-bucket query."""
+    from pyspark.sql import Window
+
+    order = [
+        F.asc(sort_field) if ascending else F.desc(sort_field),
+    ]
+    if tiebreak_field:
+        order.append(F.asc(tiebreak_field))
+    w = Window.partitionBy(bucket_field).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def significant_terms_agg(
+    df: DataFrame,
+    field: str,
+    foreground: Column,
+    size: int = 5,
+) -> DataFrame:
+    """ES `significant_terms`: keys over-represented in the foreground
+    set relative to the whole corpus, scored with ES's JLH heuristic
+    ((fgRate − bgRate) · fgRate/bgRate). One pass: conditional counts per
+    key, rates from window totals — no second scan for the background."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(
+            F.sum(F.when(foreground, 1).otherwise(0)).alias("fg"),
+            F.count("*").alias("bg"),
+        )
+    )
+    w = Window.partitionBy()
+    rates = counts.select(
+        "key",
+        "fg",
+        "bg",
+        (F.col("fg") / F.sum("fg").over(w)).alias("fg_rate"),
+        (F.col("bg") / F.sum("bg").over(w)).alias("bg_rate"),
+    ).where(F.col("fg") > 0)
+    jlh = (F.col("fg_rate") - F.col("bg_rate")) * (
+        F.col("fg_rate") / F.col("bg_rate")
+    )
+    return (
+        rates.select(
+            "key", "fg", "bg", F.round(jlh, 9).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def composite_agg_page(
+    df: DataFrame, field: str, page_size: int, after_key: str | None = None
+) -> DataFrame:
+    """ES `composite` aggregation pagination: key-ordered buckets, one
+    page at a time, resumable from ``after_key`` — the scalable way to
+    enumerate ALL buckets of a high-cardinality field (a terms agg tops
+    out at `size`)."""
+    counts = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    if after_key is not None:
+        counts = counts.where(F.col("key") > after_key)
+    return counts.orderBy("key").limit(page_size)
+
+
 def filters_agg(df: DataFrame, named_filters: dict[str, Column]) -> DataFrame:
     """ES `filters` bucket agg: one named bucket per predicate, counted in
     a single pass (conditional aggregation — no per-filter scans)."""

@@ -1278,6 +1278,79 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_top_hits",
+    """
+    SELECT event_id, event_type, round(value, 6) AS value FROM (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events WHERE value IS NOT NULL
+    ) WHERE rn <= 2
+    ORDER BY event_type, value DESC, event_id
+    """,
+)
+def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `top_hits` sub-agg: 2 highest-value events per event_type via a
+    bounded window rank."""
+    from .operators.aggregations import top_hits_agg
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    out = top_hits_agg(ev, "event_type", "value", k=2, tiebreak_field="event_id")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("event_type", F.desc("value"), "event_id")
+
+
+@register(
+    "agg_significant_terms",
+    """
+    WITH c AS (
+      SELECT event_type AS key,
+             sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::BIGINT AS fg,
+             count(*)::BIGINT AS bg
+      FROM events WHERE event_type IS NOT NULL GROUP BY key
+    ),
+    r AS (
+      SELECT key, fg, bg,
+             fg::DOUBLE / (SELECT sum(fg) FROM c) AS fg_rate,
+             bg::DOUBLE / (SELECT sum(bg) FROM c) AS bg_rate
+      FROM c WHERE fg > 0
+    )
+    SELECT key, fg, bg,
+           round((fg_rate - bg_rate) * (fg_rate / bg_rate), 9) AS score
+    FROM r ORDER BY score DESC, key ASC LIMIT 5
+    """,
+)
+def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_terms` with the JLH score: event types over-
+    represented among high-value (>150) events relative to the corpus."""
+    from .operators.aggregations import significant_terms_agg
+
+    return significant_terms_agg(
+        _events(spark, sf_dir), "event_type", F.col("value") > 150, size=5
+    )
+
+
+@register(
+    "agg_composite_page",
+    """
+    SELECT event_type AS key, count(*)::BIGINT AS cnt FROM events
+    WHERE event_type IS NOT NULL AND event_type > 'error'
+    GROUP BY key ORDER BY key LIMIT 3
+    """,
+)
+def agg_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `composite` agg pagination: the key-ordered bucket page after
+    after_key='error' — the scalable full-enumeration path for
+    high-cardinality fields."""
+    from .operators.aggregations import composite_agg_page
+
+    return composite_agg_page(
+        _events(spark, sf_dir), "event_type", page_size=3, after_key="error"
+    )
+
+
+@register(
     "fulltext_phrase_scored",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

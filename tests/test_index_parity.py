@@ -191,3 +191,39 @@ def test_doc_id_bucket_count_invariance(spark, tmp_path_factory):
             res[nb] = sorted((r["url"], r["score"]) for r in hits.collect())
         assert res[16] == res[128], q
     src.unpersist()
+
+
+def test_degenerate_corpora(spark, tmp_path_factory):
+    """Builds and searches must survive degenerate inputs: empty-text
+    docs (zero tokens -> no postings but real doclens entries), a
+    single-doc corpus, and queries over terms that exist nowhere."""
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+
+    root = tmp_path_factory.mktemp("degen")
+    rows = [
+        ("https://a.example/1", "alpha beta gamma alpha"),
+        ("https://a.example/2", ""),            # empty text
+        ("https://a.example/3", "!!! ???"),     # tokenizes to nothing
+        ("https://a.example/4", "beta"),
+    ]
+    src = spark.createDataFrame(rows, "url string, text string")
+    b = IndexBuilder(spark, str(root / "idx"), docs_per_segment=2, term_buckets=4)
+    b.build(src, fingerprint_extra="degen")
+    r = IndexReader(spark, str(root / "idx"))
+    assert r.N == 4
+    hits = r.search("alpha beta", k=10).collect()
+    assert len(hits) == 2 and hits[0]["score"] > hits[1]["score"]
+    assert r.search("zzznope", k=5).collect() == []
+    assert r.match_docs("alpha beta", "and").count() == 1
+    assert r.match_docs("alpha beta", "or").count() == 2
+
+    one = spark.createDataFrame([("https://b.example/1", "solo doc words")],
+                                "url string, text string")
+    b2 = IndexBuilder(spark, str(root / "one"), docs_per_segment=8, term_buckets=2)
+    b2.build(one, fingerprint_extra="one")
+    r2 = IndexReader(spark, str(root / "one"))
+    got = r2.search("solo", k=3).collect()
+    assert [h["doc_id"] for h in got] == [0]
