@@ -437,6 +437,58 @@ class IndexReader:
             )
         return self.match_docs(" ".join(terms), "or")
 
+    def bool_docs(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+    ) -> DataFrame:
+        """ES bool query in FILTER context: docs matching every ``must``
+        term, at least one ``should`` term (which becomes required when no
+        ``must`` is given — ES minimum_should_match semantics), and none of
+        the ``must_not`` terms. Composed from the pruned posting reads;
+        set algebra stays in Catalyst (left_semi / left_anti joins on
+        doc_id, broadcast-sized by construction)."""
+        must, should, must_not = must or [], should or [], must_not or []
+        base = None
+        if must:
+            base = self.match_docs(" ".join(must), "and")
+        if should:
+            s_docs = self.match_docs(" ".join(should), "or")
+            if base is None:
+                base = s_docs
+            else:
+                # should only boosts scoring in ES when must exists; in
+                # filter context it adds nothing — keep must as the filter
+                pass
+        if base is None:
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("doc_id", T.LongType(), False)])
+            )
+        if must_not:
+            n_docs = self.match_docs(" ".join(must_not), "or")
+            base = base.join(n_docs, "doc_id", "left_anti")
+        return base
+
+    def suggest_terms(
+        self, term: str, size: int = 3, max_edits: int = 1
+    ) -> DataFrame:
+        """ES term suggester: correction candidates for a (likely
+        misspelled) term — dictionary terms within ``max_edits``, ranked
+        the ES way (higher document frequency first, then term) off the
+        term_stats sidecar; the input term itself is excluded."""
+        t = F.lit(term)
+        return (
+            self._term_stats.where(
+                (F.abs(F.length("term") - F.length(t)) <= max_edits)
+                & (F.col("term") != term)
+                & (F.levenshtein(F.col("term"), t) <= max_edits)
+            )
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
+        )
+
     def expand_fuzzy(
         self, term: str, max_edits: int = 1, max_terms: int = 1024
     ) -> list[str]:

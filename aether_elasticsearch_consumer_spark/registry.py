@@ -1405,6 +1405,46 @@ def fulltext_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_bool_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)
+    SELECT doc_id FROM toks
+    WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+      AND len(list_filter(ts, t -> t = 'join')) > 0
+      AND len(list_filter(ts, t -> t = 'window')) = 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query (filter context): must=[spark, join],
+    must_not=[window] — pruned posting intersections minus the exclusion
+    union, all set algebra in Catalyst."""
+    return (
+        _reader_for(spark, sf_dir)
+        .bool_docs(must=["spark", "join"], must_not=["window"])
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fulltext_suggest",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents
+    ),
+    d AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term)
+    SELECT term, df FROM d
+    WHERE levenshtein(term, 'windoq') <= 1 AND term != 'windoq'
+    ORDER BY df DESC, term ASC LIMIT 3
+    """,
+)
+def fulltext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester: spell corrections for 'windoq' ranked by
+    document frequency off the term dictionary."""
+    return _reader_for(spark, sf_dir).suggest_terms("windoq", size=3)
+
+
+@register(
     "fulltext_fuzzy_count",
     f"""
     WITH toks AS (
