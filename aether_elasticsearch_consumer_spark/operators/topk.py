@@ -583,6 +583,58 @@ class IndexReader:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def term_positions(self, term: str) -> DataFrame:
+        """The stored within-doc token offsets of ``term`` per matching doc
+        — the primitive under phrase matching and (token-level)
+        highlighting, exposed directly so the positional store's contents
+        are value-checkable against the raw text."""
+        if not self.positions:
+            raise ValueError("index built without positions")
+        toks = tokenize_py(term, self.profile)
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("positions", T.ArrayType(T.LongType()), False),
+            ]
+        )
+        if len(toks) != 1:
+            raise ValueError("term_positions takes exactly one analyzed term")
+        t = toks[0]
+        bucket = self._buckets_for([t])[t]
+        postings = self._postings.where(
+            (F.col("term_bucket") == bucket) & (F.col("term") == t)
+        ).select(
+            "segment_id", "first_doc_id", "count", "doc_deltas", "tfs",
+            "positions",
+        )
+
+        def collect_pos(pdf: pd.DataFrame) -> pd.DataFrame:
+            blocks = [
+                {"first_doc_id": int(f), "count": int(c),
+                 "doc_deltas": dd, "tfs": tf, "positions": ps}
+                for f, c, dd, tf, ps in zip(
+                    pdf["first_doc_id"], pdf["count"], pdf["doc_deltas"],
+                    pdf["tfs"], pdf["positions"],
+                )
+            ]
+            ids, tfs_ = _decode_blocks_batch(blocks)
+            pos = _decode_positions_batch(blocks, tfs_)
+            starts = np.zeros(len(tfs_), dtype=np.int64)
+            np.cumsum(tfs_[:-1], out=starts[1:])
+            ends = starts + tfs_
+            return pd.DataFrame(
+                {
+                    "doc_id": ids.astype(np.int64),
+                    "positions": [
+                        pos[s:e].tolist() for s, e in zip(starts, ends)
+                    ],
+                }
+            )
+
+        return postings.groupBy("segment_id").applyInPandas(
+            collect_pos, out_schema
+        )
+
     def phrase_docs(self, phrase: str, with_freq: bool = False) -> DataFrame:
         """Exact phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at

@@ -1383,6 +1383,40 @@ def fulltext_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_term_positions",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(generate_series(1, len(toks)),
+                           i -> toks[i] = 'window'),
+               i -> (i - 1)::BIGINT
+             ) AS positions
+      FROM t
+    )
+    SELECT doc_id, array_to_string(positions, ',') AS positions
+    FROM p WHERE len(positions) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional store's CONTENTS under the driver gate: every doc's
+    stored token offsets for 'window', value-checked against offsets
+    recomputed from the raw text in SQL (the primitive behind phrase
+    matching and token-level highlighting)."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for_pos(spark, sf_dir)
+    out = IndexReader(spark, idx).term_positions("window")
+    # canonical comma-join: the driver's value hash needn't support
+    # list-typed cells, and the check is just as strict
+    return out.select(
+        "doc_id", F.array_join("positions", ",").alias("positions")
+    ).orderBy("doc_id")
+
+
+@register(
     "fulltext_prefix_count",
     f"""
     WITH toks AS (

@@ -40,6 +40,10 @@ def arrow_types(cols: list[str], tbl) -> dict[str, str]:
             return "timestamp"
         if pa.types.is_date(t):
             return "date"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            # the child FIELD NAME ('element' vs 'l' vs 'item') is a
+            # writer detail, not a value type
+            return f"list<{canon(t.value_type)}>"
         return str(t)
 
     return {c: canon(tbl.schema.field(c).type) for c in cols}
