@@ -292,6 +292,66 @@ def composite_agg_page(
     return counts.orderBy("key").limit(page_size)
 
 
+# -- ES pipeline aggregations --------------------------------------------------
+# Second-order aggs over a parent bucket agg's output: moving averages,
+# cumulative sums, derivatives. In ES these post-process the bucket list on
+# the coordinating node; here they are window functions over the bucket
+# frame — still one plan, still distributed.
+
+
+def date_histogram_with_pipeline(
+    df: DataFrame,
+    ts_field: str,
+    value_field: str,
+    interval: str = "day",
+    window: int = 3,
+) -> DataFrame:
+    """date_histogram + sum metric + the three standard ES pipeline aggs:
+    moving_avg (trailing ``window`` buckets), cumulative_sum, derivative
+    (delta vs previous bucket, NULL for the first — ES semantics)."""
+    from pyspark.sql import Window
+
+    buckets = (
+        df.where(F.col(ts_field).isNotNull() & F.col(value_field).isNotNull())
+        .groupBy(F.date_trunc(interval, F.col(ts_field)).alias("bucket"))
+        .agg(F.round(F.sum(value_field), 4).alias("sum_v"))
+    )
+    w = Window.orderBy("bucket")
+    return (
+        buckets.select(
+            "bucket",
+            "sum_v",
+            F.round(
+                F.avg("sum_v").over(w.rowsBetween(-(window - 1), 0)), 4
+            ).alias("moving_avg"),
+            F.round(
+                F.sum("sum_v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                4,
+            ).alias("cumulative_sum"),
+            F.round(F.col("sum_v") - F.lag("sum_v", 1).over(w), 4).alias(
+                "derivative"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def percentile_ranks_agg(
+    df: DataFrame, field: str, values: list[float]
+) -> DataFrame:
+    """ES `percentile_ranks`: for each probe value, the percentage of
+    observations ≤ it — one conditional-count pass."""
+    c = F.col(field)
+    total = F.count(c)
+    cols = [
+        F.round(
+            F.sum(F.when(c <= v, 1).otherwise(0)) * 100.0 / total, 6
+        ).alias(f"rank_{str(v).replace('.', '_')}")
+        for v in values
+    ]
+    return df.where(c.isNotNull()).agg(*cols)
+
+
 def filters_agg(df: DataFrame, named_filters: dict[str, Column]) -> DataFrame:
     """ES `filters` bucket agg: one named bucket per predicate, counted in
     a single pass (conditional aggregation — no per-filter scans)."""

@@ -1278,6 +1278,53 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_pipeline_movavg",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+             round(sum(value), 4) AS sum_v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY bucket
+    )
+    SELECT bucket, sum_v,
+           round(avg(sum_v) OVER (ORDER BY bucket
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+           round(sum(sum_v) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cumulative_sum,
+           round(sum_v - lag(sum_v, 1) OVER (ORDER BY bucket), 4) AS derivative
+    FROM b ORDER BY bucket
+    """,
+)
+def agg_pipeline_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (moving_avg / cumulative_sum / derivative)
+    over a date_histogram+sum parent — window functions over the bucket
+    frame, one plan."""
+    from .operators.aggregations import date_histogram_with_pipeline
+
+    return date_histogram_with_pipeline(
+        _events(spark, sf_dir), "ts", "value", "day", window=3
+    )
+
+
+@register(
+    "agg_percentile_ranks",
+    """
+    SELECT round(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) * 100.0
+                 / count(value), 6) AS rank_50,
+           round(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) * 100.0
+                 / count(value), 6) AS rank_250
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `percentile_ranks`: % of observations ≤ each probe value."""
+    from .operators.aggregations import percentile_ranks_agg
+
+    return percentile_ranks_agg(_events(spark, sf_dir), "value", [50, 250])
+
+
+@register(
     "agg_top_hits",
     """
     SELECT event_id, event_type, round(value, 6) AS value FROM (

@@ -227,3 +227,55 @@ def test_degenerate_corpora(spark, tmp_path_factory):
     r2 = IndexReader(spark, str(root / "one"))
     got = r2.search("solo", k=3).collect()
     assert [h["doc_id"] for h in got] == [0]
+
+
+def test_adversarial_query_shapes(spark, index_dir, oracle):
+    """Rank identity under hostile shapes: huge k (past the corpus), long
+    disjunctions, repeated query terms (deduped by the analyzer on both
+    sides), and all-stopword queries (worst-case exhaustive scoring)."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import vocab
+
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    v = vocab()
+    shapes = [
+        ("the", 1000),                                   # k > matches? head term, huge k
+        ("the the the", 10),                             # repeated terms
+        (" ".join(v[60:68]), 25),                        # 8-term disjunction
+        (f"{v[100]} zzznope1 zzznope2 {v[101]}", 10),    # mixed absent
+        ("the of and to in", 10),                        # all stopwords
+    ]
+    for q, k in shapes:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in reader.search(q, k=k).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in score_query(oracle, q, k=k)]
+        assert got == want, (q, k)
+
+
+def test_concurrent_searches_are_deterministic(spark, index_dir):
+    """One reader, many threads: concurrent searches must neither
+    interfere nor produce different results than serial execution."""
+    import concurrent.futures as cf
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import vocab
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    v = vocab()
+    queries = [f"{v[50 + i]} {v[200 + i]}" for i in range(8)]
+    serial = {
+        q: [(r["doc_id"], r["score"]) for r in reader.search(q, k=10).collect()]
+        for q in queries
+    }
+
+    def run(q):
+        return q, [
+            (r["doc_id"], r["score"]) for r in reader.search(q, k=10).collect()
+        ]
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for q, res in ex.map(run, queries):
+            assert res == serial[q], q
