@@ -182,3 +182,24 @@ class Catalog:
 
     def resolve(self, name: str) -> SnapshotTable:
         return self.table(self.aliases().get(name, name))
+
+
+def read_json_messages(
+    spark: "SparkSession", path: str, avro_schema: dict
+) -> "DataFrame":
+    """Read JSON-lines messages typed by an AVRO schema — the reference's
+    actual wire format (Kafka messages are Avro-described JSON;
+    artifacts.py:393-401 polls them one by one). The Avro schema compiles
+    to a Spark schema (functions/schema_map.avro_schema_to_spark — the
+    same union/logicalType rules the mapping derivation uses), so the
+    source is schema-ENFORCED: missing fields surface as NULLs, extra
+    fields are dropped, and type mismatches fail loudly (FAILFAST) instead
+    of silently corrupting downstream indexes."""
+    from ..functions.schema_map import avro_schema_to_spark
+
+    schema = avro_schema_to_spark(avro_schema)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )

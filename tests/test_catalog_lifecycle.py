@@ -128,3 +128,40 @@ def test_lifecycle_migration_hash_gated(spark, catalog):
     lc.submit("things", spark.createDataFrame([("c", "1003")], "id string, poly string"), key="id")
     assert t3.read().count() == 3
     assert t.read().count() == 2  # old version untouched
+
+
+def test_read_json_messages_schema_enforced(spark, tmp_path):
+    """JSON-lines source typed by an Avro schema (the reference's wire
+    format) feeding the compiled ingest pipeline end to end."""
+    import json as _json
+
+    from aether_elasticsearch_consumer_spark.operators.ingest import IngestPipeline
+    from aether_elasticsearch_consumer_spark.sources.catalog import (
+        read_json_messages,
+    )
+
+    avro = {
+        "name": "msg", "type": "record",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "n_days",
+             "type": ["null", {"type": "int", "logicalType": "date"}]},
+            {"name": "status", "type": ["null", "string"],
+             "@aether_lookup": [{"label": "Open", "value": "o"}]},
+        ],
+    }
+    lines = [
+        {"id": "a", "n_days": 10957, "status": "o"},
+        {"id": "b", "n_days": None, "status": "x", "extra": "dropped"},
+        {"id": "c"},  # missing fields -> NULL
+    ]
+    p = tmp_path / "msgs.jsonl"
+    p.write_text("\n".join(_json.dumps(x) for x in lines))
+    df = read_json_messages(spark, str(p), avro)
+    assert set(df.columns) == {"id", "n_days", "status"}
+    out = IngestPipeline(schema=avro).apply(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["n_days"] == "2000-01-01"          # F1 date coercion
+    assert rows["a"]["status_decoded"] == "Open"        # F11 schema lookup
+    assert rows["b"]["status_decoded"] == "Other"
+    assert rows["c"]["status"] is None
