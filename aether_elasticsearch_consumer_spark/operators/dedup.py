@@ -177,9 +177,15 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # the shingle table feeds three consumers (banding + two candidate
-    # re-attach joins); persist it so tokenize+shingle runs once — at
-    # corpus scale this is the materialized build artifact. The hashed
-    # int shingles ("shi", the minhash input) persist alongside the raw
+    # re-attach joins); materialize it once via an EAGER localCheckpoint
+    # so tokenize+shingle runs once — at corpus scale this is the
+    # materialized build artifact. localCheckpoint, not persist(): a
+    # persist has no unpersist hook on a lazily-returned plan and its
+    # CacheManager entry outlives the call (the round-2 advisor's
+    # storage-leak finding — this function is invoked by two registry
+    # entries per session); checkpoint blocks are released by the
+    # ContextCleaner when the returned plan is dropped. The hashed int
+    # shingles ("shi", the minhash input) materialize alongside the raw
     # grams: computed inline they would re-evaluate the per-gram hash
     # fold inside each of the n_hashes minhash expressions after project
     # collapse.
@@ -194,7 +200,7 @@ def minhash_lsh_pairs(
                 grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
             )
         ).alias("shi"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     sig = base.select(
         "id", minhash_signature_arrow(n_hashes)(F.col("shi")).alias("sig")
     )

@@ -127,13 +127,27 @@ class LshAnnIndex:
         ).coalesce(1).write.mode("overwrite").parquet(str(out / "meta"))
         return LshAnnIndex(spark, index_dir)
 
-    def probe_paths(self, query_vec, max_hamming: int) -> list[str]:
+    def probe_paths(
+        self, query_vec, max_hamming: int, max_prefix_hamming: int | None = None
+    ) -> list[str]:
         """The partition directories a query must read — a strict subset of
-        the index (the partition-pruning contract tests assert on this)."""
+        the index (the partition-pruning contract tests assert on this).
+
+        ``max_prefix_hamming`` bounds the prefix-ball radius SEPARATELY
+        from the full-signature hamming budget: with the default (None →
+        min(max_hamming, prefix_bits)) a generous ``max_hamming`` can span
+        the whole prefix space and the directory pruning becomes vacuous
+        (the round-2 advisor's finding at prefix_bits=6, max_hamming=6).
+        A bounded radius is the standard multi-probe LSH trade: recall is
+        given up only for candidates whose signature disagreement
+        concentrates in the prefix planes."""
         q = np.asarray(query_vec, dtype=np.float64)
         q_sig = int(signature_bits(q[None, :], self.planes)[0])
         q_prefix = q_sig >> (self.n_planes - self.prefix_bits)
-        prefixes = _hamming_ball(q_prefix, self.prefix_bits, max_hamming)
+        radius = (
+            max_hamming if max_prefix_hamming is None else max_prefix_hamming
+        )
+        prefixes = _hamming_ball(q_prefix, self.prefix_bits, radius)
         return [
             str(self.dir / "data" / f"sig_prefix={p}")
             for p in prefixes
@@ -141,12 +155,18 @@ class LshAnnIndex:
         ]
 
     def query(
-        self, query_vec, k: int = 10, max_hamming: int = 3
+        self,
+        query_vec,
+        k: int = 10,
+        max_hamming: int = 3,
+        max_prefix_hamming: int | None = None,
     ) -> DataFrame:
         """Top-k by exact cosine among rows whose stored signature is
-        within ``max_hamming`` of the query signature. Reads only the
-        hamming-ball partitions (directory pruning), never the corpus."""
-        paths = self.probe_paths(query_vec, max_hamming)
+        within ``max_hamming`` of the query signature AND whose prefix is
+        within ``max_prefix_hamming`` (see ``probe_paths``) of the query
+        prefix. Reads only the prefix-ball partitions (directory
+        pruning), never the corpus."""
+        paths = self.probe_paths(query_vec, max_hamming, max_prefix_hamming)
         if not paths:
             return _empty_topk(self.spark)
         q = np.asarray(query_vec, dtype=np.float64)

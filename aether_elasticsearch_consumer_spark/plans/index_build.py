@@ -481,8 +481,26 @@ class IndexBuilder:
             # token stream: positions ride along as ONE extra int column
             # only when the index stores them
             if self.with_positions:
+                # phrase keys pack (doc_id << DL_BITS | pos): a position at
+                # or past 2^DL_BITS would carry into the doc_id field and
+                # silently corrupt phrase matches — fail loudly at build
+                # instead (round-2 advisor finding). doc_len is CAPPED at
+                # DL_MASK (stats only degrade), but positions must be exact.
                 pe = F.posexplode(tokenize_col("text", self.profile))
                 exploded = docs.select(packed_col, pe.alias("pos", "term"))
+                exploded = exploded.withColumn(
+                    "pos",
+                    F.when(F.col("pos") < F.lit(1 << DL_BITS), F.col("pos"))
+                    .otherwise(
+                        F.raise_error(
+                            F.lit(
+                                "positional index cannot store a doc with "
+                                f">= 2^{DL_BITS} tokens (phrase-key packing "
+                                "envelope); split or truncate the document"
+                            )
+                        ).cast("int")
+                    ),
+                )
                 pos_cols = ["pos"]
             else:
                 exploded = docs.select(

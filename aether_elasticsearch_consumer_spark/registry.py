@@ -577,12 +577,18 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42,
-                    max_hamming: int = 6, k: int = 10) -> str:
+                    max_hamming: int = 6, k: int = 10,
+                    prefix_bits: int = 6,
+                    max_prefix_hamming: int = 2) -> str:
     """DuckDB SQL that reproduces the hyperplane-LSH query EXACTLY,
     approximation included: the plane matrix is fully determined by
     (seed, dim), so its coefficients inline as literals; a row is a
     candidate iff its 16-bit signature is within ``max_hamming`` of the
-    query's, and candidates rank by (6-dp cosine desc, vec_id asc)."""
+    query's AND its top-``prefix_bits`` prefix (the partition key, planes
+    ``n_planes-prefix_bits .. n_planes-1``) is within
+    ``max_prefix_hamming`` — the bounded multi-probe radius that makes the
+    directory pruning a real subset — and candidates rank by
+    (6-dp cosine desc, vec_id asc)."""
     from .operators.similarity import _planes
 
     planes = _planes(dim, n_planes, seed)
@@ -595,11 +601,16 @@ def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42,
         f" THEN 1 ELSE 0 END)"
         for i in range(n_planes)
     )
-    ham = " + ".join(
-        f"(CASE WHEN (CASE WHEN list_inner_product(ev, {lit(planes[i])}) >= 0"
-        f" THEN 1 ELSE 0 END) != qb[{i + 1}] THEN 1 ELSE 0 END)"
-        for i in range(n_planes)
-    )
+
+    def ham_expr(idxs) -> str:
+        return " + ".join(
+            f"(CASE WHEN (CASE WHEN list_inner_product(ev, {lit(planes[i])})"
+            f" >= 0 THEN 1 ELSE 0 END) != qb[{i + 1}] THEN 1 ELSE 0 END)"
+            for i in idxs
+        )
+
+    ham = ham_expr(range(n_planes))
+    pham = ham_expr(range(n_planes - prefix_bits, n_planes))
     return f"""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
@@ -611,7 +622,7 @@ def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42,
     )
     SELECT vec_id, round(list_cosine_similarity(ev, qv), 6) AS cosine
     FROM cand
-    WHERE ({ham}) <= {max_hamming}
+    WHERE ({ham}) <= {max_hamming} AND ({pham}) <= {max_prefix_hamming}
     ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
 
@@ -619,16 +630,18 @@ def _lsh_oracle_sql(n_planes: int = 16, dim: int = 64, seed: int = 42,
 @register("similarity_lsh_topk", _lsh_oracle_sql())
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN off the PERSISTED signature-partitioned index:
-    partition-pruned read of the hamming-ball directories + exact re-rank.
-    Never rescans or re-hashes the corpus at query time. The oracle
-    replays the same seed-deterministic planes in SQL, so the approximate
-    result is value-checked, not just row-counted."""
+    partition-pruned read of the prefix-ball directories (radius bounded
+    at 2 of the 2^6 prefix space — a real subset, 22/64 directories) +
+    full-signature hamming filter + exact re-rank. Never rescans or
+    re-hashes the corpus at query time. The oracle replays the same
+    seed-deterministic planes AND both hamming bounds in SQL, so the
+    approximate result is value-checked, not just row-counted."""
     from .plans.ann_index import LshAnnIndex
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
     idx = LshAnnIndex(spark, _lsh_index_for(spark, sf_dir))
-    return idx.query(q, k=10, max_hamming=6)
+    return idx.query(q, k=10, max_hamming=6, max_prefix_hamming=2)
 
 
 _IVF_ORACLE_SQL = """

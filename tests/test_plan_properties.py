@@ -86,3 +86,37 @@ def test_ann_query_lists_probed_dirs_only(spark, tmp_path_factory):
 
     all_files = glob.glob(str(idx.dir / "data/sig_prefix=*/*.parquet"))
     assert len(files) < len(all_files)
+
+
+def test_no_global_window_in_significant_terms(spark):
+    """significant_terms corpus totals must be a broadcast scalar, never a
+    partition-less window (which funnels every distinct key through one
+    task at high cardinality)."""
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.operators.aggregations import (
+        significant_terms_agg,
+    )
+
+    df = webtext_df(spark, 200, partitions=4)
+    plan = _plan(
+        significant_terms_agg(df, "lang", F.length("text") > 400, size=5)
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_global_window_in_search_phrase(spark, tmp_path_factory):
+    """The phrase-df count must be a broadcast scalar, never a global
+    window over the (possibly huge) match set."""
+    root = tmp_path_factory.mktemp("phraseplan")
+    IndexBuilder(
+        spark,
+        str(root / "idx"),
+        docs_per_segment=128,
+        term_buckets=8,
+        with_positions=True,
+    ).build(webtext_df(spark, 300, partitions=4), fingerprint_extra="ppp")
+    rd = IndexReader(spark, str(root / "idx"))
+    plan = _plan(rd.search_phrase("keta gera", k=5))
+    assert "Window" not in plan

@@ -202,3 +202,20 @@ def test_fuzzy_and_wildcard_expansion(spark, pos_index):
         d for d, text in docs if any(edits1(t, needle) for t in tokenize_py(text))
     }
     assert ids == want_ids
+
+
+def test_build_rejects_doc_past_position_envelope(spark, tmp_path):
+    """A doc with >= 2^20 tokens would overflow the (doc_id << 20 | pos)
+    phrase-key packing; the positional build must fail loudly, never
+    store wrapped positions (round-2 advisor finding)."""
+    big = "x " * ((1 << 20) + 2)
+    src = spark.createDataFrame(
+        [("https://a.example/big", big), ("https://a.example/ok", "small doc")],
+        "url string, text string",
+    )
+    b = IndexBuilder(
+        spark, str(tmp_path / "idx"), docs_per_segment=4, term_buckets=2,
+        with_positions=True,
+    )
+    with pytest.raises(Exception, match="2\\^20 tokens"):
+        b.build(src, fingerprint_extra="envelope")
