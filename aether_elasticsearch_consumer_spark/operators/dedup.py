@@ -320,11 +320,38 @@ def simhash_py(tokens: list[str]) -> int:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(token_arrays: pd.Series) -> pd.Series:
-    out = np.empty(len(token_arrays), dtype=np.int64)
-    for i, toks in enumerate(token_arrays):
-        v = simhash_py(list(toks) if toks is not None else [])
-        out[i] = np.uint64(v).astype(np.int64)  # two's-complement fold
-    return pd.Series(out)
+    """Batch-vectorized simhash (bit-identical to ``simhash_py``, pinned
+    by the parity test): one token-hash pass over the BATCH's unique
+    vocabulary, then per-bit votes as length-weighted bincounts — the
+    per-doc vote for bit b is 2·S_b − L (S_b = set-bit instances, L = doc
+    token count), identical to the per-unique-token weighted vote since
+    count-weighting equals instance multiplicity. No per-doc Python loop;
+    per-bit temporaries stay O(batch instances), never instances × 64."""
+    n = len(token_arrays)
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in token_arrays),
+        dtype=np.int64,
+        count=n,
+    )
+    if not lens.sum():
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in token_arrays if t is not None and len(t)]
+    )
+    doc_idx = np.repeat(np.arange(n), lens)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hashes = _token_hash64([str(u) for u in uniq])[inv]
+    votes_pos = np.zeros((n, 64), dtype=np.int64)
+    for b in range(64):
+        col = ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        votes_pos[:, b] = np.bincount(
+            doc_idx, weights=col, minlength=n
+        ).astype(np.int64)
+    bits = (2 * votes_pos - lens[:, None]) > 0
+    sim = (
+        bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1)
+    return pd.Series(sim.astype(np.int64))  # two's-complement fold
 
 
 def simhash_col(text: Column, profile: str = "ascii") -> Column:

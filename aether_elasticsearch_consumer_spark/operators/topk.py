@@ -145,9 +145,26 @@ def _score_segment(
     avgdl; after a segment merge the query avgdl can be larger, growing
     true impacts past the stored bound. Scaling bounds by
     max(1, avgdl/build_avgdl) (the worst-case impact ratio, reached as
-    dl→∞) keeps pruning exact. Bounds only — never scores."""
+    dl→∞) keeps pruning exact. Bounds only — never scores.
+
+    Tombstones: when the segment carries a ``deleted`` blob (see
+    plans/tombstones.py), dead docs are masked right after each block
+    decode — they never become candidates, never enter the threshold, and
+    never surface. Stored block bounds stay valid upper bounds (masking
+    only removes candidates); N/avgdl/df arrive already delete-adjusted
+    from the reader, so surviving scores are exactly the live-corpus
+    BM25."""
     lens_arr = varbyte_decode(pdf["lens"].iloc[0]).astype(np.float64)
     start = int(pdf["start_doc_id"].iloc[0])
+    alive = None
+    if "deleted" in pdf.columns:
+        blob = pdf["deleted"].iloc[0]
+        if blob is not None and len(blob):
+            from ..plans.tombstones import decode_id_set
+
+            alive = np.ones(len(lens_arr), dtype=bool)
+            dpos = decode_id_set(bytes(blob)) - start
+            alive[dpos[(dpos >= 0) & (dpos < len(lens_arr))]] = False
 
     terms = []
     for t, grp in pdf.sort_values(["term", "block_no"]).groupby("term", sort=True):
@@ -189,6 +206,11 @@ def _score_segment(
                 break
             ids, tfs_ = _decode_blocks_batch(chunk)
             pos = ids - start
+            if alive is not None:
+                m = alive[pos]
+                pos, tfs_ = pos[m], tfs_[m]
+                if not len(pos):
+                    continue
             tf = tfs_.astype(np.float64)
             dl = lens_arr[pos]
             sc = idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -223,6 +245,9 @@ def _score_segment(
     def score_blocks(blks, idf):
         ids, tfs = _decode_blocks_batch(blks)
         pos = ids - start
+        if alive is not None:
+            m = alive[pos]
+            pos, tfs = pos[m], tfs[m]
         tf = tfs.astype(np.float64)
         dl = lens_arr[pos]
         impact = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -309,6 +334,50 @@ class IndexReader:
         self._doclens = spark.read.parquet(str(self.dir / "doclens/data"))
         self._term_stats = spark.read.parquet(str(self.dir / "term_stats/data"))
 
+        # tombstones (plans/tombstones.py): adjust N/avgdl to the LIVE
+        # corpus exactly — n_deleted/deleted_len are exact integers from
+        # the delete sidecar; the index's total token count folds out of
+        # the per-segment doclens sidecar (N/docs_per_segment rows, one
+        # tiny distributed agg, only when deletes exist). df adjusts per
+        # query term from the term_df delta sidecar (same term_bucket
+        # pruning as term_stats), so scoring matches an index built over
+        # the post-delete corpus — stricter than Lucene, which serves
+        # stale stats until a merge.
+        self._del_ids = self._del_seg = self._del_termdf = None
+        from ..plans.tombstones import delete_stats, has_deletes
+
+        if has_deletes(self.dir):
+            ds_ = delete_stats(self.dir)
+            if ds_["n_deleted"]:
+                total_len = int(
+                    self._doclens.agg(
+                        F.sum("sum_len").alias("s")
+                    ).collect()[0]["s"]
+                )
+                self.N -= ds_["n_deleted"]
+                self.avgdl = (
+                    (total_len - ds_["deleted_len"]) / self.N
+                    if self.N > 0
+                    else 1.0
+                )
+                self.bound_scale = max(1.0, self.avgdl / build_avgdl)
+                self._del_ids = spark.read.parquet(
+                    str(self.dir / "deletes/doc_ids/data")
+                )
+                self._del_seg = spark.read.parquet(
+                    str(self.dir / "deletes/segments/data")
+                )
+                self._del_termdf = spark.read.parquet(
+                    str(self.dir / "deletes/term_df/data")
+                )
+
+    def _strip_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join tombstoned ids out of a doc-id result — AQE broadcasts
+        the delete set when small, shuffle-joins when genuinely large."""
+        if self._del_ids is None:
+            return df
+        return df.join(self._del_ids, "doc_id", "left_anti")
+
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
         # driver-side, bit-exact with F.pmod(F.xxhash64(term), B)
         return {t: spark_pmod_bucket(t, self.term_buckets) for t in terms}
@@ -317,14 +386,16 @@ class IndexReader:
         if not terms:
             return {}
         buckets = self._buckets_for(terms)
-        rows = (
-            self._term_stats.where(
-                F.col("term_bucket").isin(list(set(buckets.values())))
-                & F.col("term").isin(terms)
-            )
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        pred = F.col("term_bucket").isin(
+            list(set(buckets.values()))
+        ) & F.col("term").isin(terms)
+        rows = self._term_stats.where(pred).collect()
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        if self._del_termdf is not None:
+            for r in self._del_termdf.where(pred).collect():
+                if r["term"] in dfs:
+                    dfs[r["term"]] -= int(r["df_delta"])
+        return dfs
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Top-k BM25 → DataFrame(doc_id, score) globally ordered."""
@@ -337,6 +408,18 @@ class IndexReader:
         ) & F.col("term").isin(terms)
         postings = self._postings.where(bucket_pred)
         stats = self._term_stats.where(bucket_pred).select("term", "df")
+        if self._del_termdf is not None:
+            # exact post-delete df: stored df minus docs-containing-term
+            # count over the deleted set (same pruned read shape)
+            delta = self._del_termdf.where(bucket_pred).select(
+                "term", "df_delta"
+            )
+            stats = stats.join(delta, "term", "left").select(
+                "term",
+                (
+                    F.col("df") - F.coalesce(F.col("df_delta"), F.lit(0))
+                ).alias("df"),
+            )
         # df folds into the plan via broadcast (a query touches ≤ a few
         # terms); doclens joins on segment_id — AQE broadcasts the filtered
         # postings side at runtime when small, shuffle-joins when a head
@@ -349,6 +432,14 @@ class IndexReader:
             "segment_id",
             "left_semi",
         )
+        if self._del_seg is not None:
+            # the per-segment tombstone blob rides the same sidecar join;
+            # segments with no deletes get NULL and the scorer skips masking
+            doclens = doclens.join(
+                self._del_seg.select("segment_id", "deleted"),
+                "segment_id",
+                "left",
+            )
         joined = postings.join(F.broadcast(stats), "term").join(
             doclens, "segment_id"
         )
@@ -407,8 +498,8 @@ class IndexReader:
                 acc = np.unique(np.concatenate(per_term))
             return pd.DataFrame({"doc_id": acc.astype(np.int64)})
 
-        return postings.groupBy("segment_id").applyInPandas(
-            collect_ids, out_schema
+        return self._strip_deleted(
+            postings.groupBy("segment_id").applyInPandas(collect_ids, out_schema)
         )
 
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
@@ -546,6 +637,78 @@ class IndexReader:
             )
         return self.match_docs(" ".join(terms), "or")
 
+    def query_string_docs(self, q: str) -> DataFrame:
+        """Execute a Lucene query-language string (the reference's saved
+        searches carry these — visualization.py:46-53) in FILTER context:
+        → DataFrame(doc_id). The parse tree maps 1:1 onto the existing
+        primitives (term/phrase/prefix/fuzzy/wildcard posting reads), and
+        the boolean algebra runs as Catalyst semi/anti joins, so a parsed
+        query has exactly the plan its hand-written ``bool_docs``
+        equivalent would. Analyzer contract: every text atom re-analyzes
+        through the index's tokenizer profile; an atom that analyzes to
+        several terms ORs them (Lucene's default_operator=OR); an atom the
+        analyzer drops entirely (punctuation-only) is discarded like
+        Lucene's analyzer-dropped clauses."""
+        from ..functions.querystring import parse_query_string
+
+        return self._eval_qs(parse_query_string(q))
+
+    def _empty_ids(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("doc_id", T.LongType(), False)])
+        )
+
+    def _eval_qs(self, node) -> DataFrame | None:
+        """AST → DataFrame(doc_id); None = clause vacuous after analysis."""
+        from functools import reduce
+
+        from ..functions import querystring as qs
+
+        if isinstance(node, qs.Term):
+            terms = tokenize_py(node.text, self.profile)
+            if not terms:
+                return None
+            return self.match_docs(" ".join(terms), "or")
+        if isinstance(node, qs.Phrase):
+            terms = tokenize_py(node.text, self.profile)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return self.match_docs(terms[0], "and")
+            return self.phrase_docs(" ".join(terms))
+        if isinstance(node, qs.Prefix):
+            return self.prefix_docs(node.text.lower())
+        if isinstance(node, qs.Wildcard):
+            return self.wildcard_docs(node.pattern.lower())
+        if isinstance(node, qs.Fuzzy):
+            terms = tokenize_py(node.term, self.profile)
+            if len(terms) != 1:
+                raise ValueError(
+                    f"fuzzy needs a single analyzed term, got {node.term!r}"
+                )
+            return self.fuzzy_docs(terms[0], max_edits=node.max_edits)
+        if isinstance(node, qs.Bool):
+            must = [x for x in map(self._eval_qs, node.must) if x is not None]
+            should = [
+                x for x in map(self._eval_qs, node.should) if x is not None
+            ]
+            nots = [
+                x for x in map(self._eval_qs, node.must_not) if x is not None
+            ]
+            if must:
+                base = reduce(
+                    lambda a, b: a.join(b, "doc_id", "left_semi"), must
+                )
+            elif should:
+                base = reduce(DataFrame.unionByName, should).distinct()
+            else:
+                return self._empty_ids() if nots else None
+            if nots:
+                neg = reduce(DataFrame.unionByName, nots)
+                base = base.join(neg, "doc_id", "left_anti")
+            return base
+        raise TypeError(f"unknown query node {node!r}")
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """SCORED phrase query (ES match_phrase): candidates come from the
         positional verifier with their phrase frequency (number of phrase
@@ -633,8 +796,8 @@ class IndexReader:
                 }
             )
 
-        return postings.groupBy("segment_id").applyInPandas(
-            collect_pos, out_schema
+        return self._strip_deleted(
+            postings.groupBy("segment_id").applyInPandas(collect_pos, out_schema)
         )
 
     def phrase_docs(self, phrase: str, with_freq: bool = False) -> DataFrame:
@@ -749,8 +912,10 @@ class IndexReader:
                 out["phrase_freq"] = freqs.astype(np.int64)
             return pd.DataFrame(out)
 
-        return postings.groupBy("segment_id").applyInPandas(
-            collect_phrase, out_schema
+        return self._strip_deleted(
+            postings.groupBy("segment_id").applyInPandas(
+                collect_phrase, out_schema
+            )
         )
 
 

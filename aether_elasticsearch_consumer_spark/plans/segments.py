@@ -56,7 +56,16 @@ def merge_indexes(
         or _pos(sb) != _pos(sd)
     ):
         raise ValueError("cannot merge indexes with different layouts")
-    fp = content_hash({"base": str(base), "delta": str(delta), "v": 2})
+    from .tombstones import delete_stats, has_deletes, union_delete_sidecars
+
+    # the fingerprint must track the inputs' tombstone state: the same
+    # (base, delta) pair with a grown delete set is a DIFFERENT merge
+    del_state = [
+        delete_stats(p) if has_deletes(p) else None for p in (base, delta)
+    ]
+    fp = content_hash(
+        {"base": str(base), "delta": str(delta), "deletes": del_state, "v": 2}
+    )
     manifests = {}
 
     def union_stage(name: str):
@@ -120,6 +129,18 @@ def merge_indexes(
         return {"N": n, "avgdl": avgdl, "build_avgdl": build_avgdl}
 
     manifests["stats"] = run_stage("stats", out / "stats", fp, stats_stage, force)
+
+    if any(del_state):
+        # tombstones carry through as pure metadata: doc-id and segment-id
+        # ranges of the two sides are disjoint, so the delete sidecars
+        # union exactly like doclens/postings — no posting ever decodes
+        def deletes_stage(tmp: str) -> dict:
+            union_delete_sidecars(spark, base, delta, tmp)
+            return {}
+
+        manifests["deletes"] = run_stage(
+            "deletes", out / "deletes", fp, deletes_stage, force
+        )
     return manifests
 
 

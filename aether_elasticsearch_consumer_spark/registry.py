@@ -1692,3 +1692,126 @@ def fulltext_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_index_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 impact-ordered early-termination path under the oracle."""
     return _reader_for(spark, sf_dir).search("window", k=10)
+
+
+def _upsert_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per machine) the two-wave UPSERT index:
+    wave 1 ingests the whole documents table under stable ``doc://`` urls;
+    wave 2 re-ingests every ``doc_id % 37 == 0`` url with replaced text.
+    The live index after wave 2 carries tombstones for the stale versions
+    and a merged delta with the new ones (plans/tombstones.upsert_index —
+    the reference's create→update→ignore-conflict semantics,
+    artifacts.py:513-550, carried through the inverted index)."""
+    from .plans.tombstones import upsert_index
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = _Path(_tempfile.gettempdir()) / f"aecs_upsidx_{key}_v3"
+    live, done = d / "live", d / "_DONE"
+    if not done.exists():
+        kw = dict(docs_per_segment=4096, term_buckets=8)
+        docs = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+        ).alias("url")
+        wave1 = docs.select(url, "text", "lang")
+        upsert_index(spark, str(live), str(d / "wk"), wave1, "w1", **kw)
+        # doc_id % 53 over the 500-doc table upserts EXACTLY k=10 docs, so
+        # the registered query's top-10 membership is the whole upserted
+        # group and never cuts inside a 9-dp tie (the engine's internal
+        # tie-break is a hash-bucket doc-id permutation no SQL oracle can
+        # replay); tf and length also vary per doc as extra margin
+        wave2 = docs.where(F.col("doc_id") % 53 == 0).select(
+            url,
+            F.concat(
+                F.expr("repeat('zephyr ', 1 + CAST(doc_id % 7 AS INT))"),
+                F.lit("quill reindex corpus refresh number "),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.expr("substring(text, 1, 60 + CAST(doc_id % 13 AS INT) * 7)"),
+            ).alias("text"),
+            "lang",
+        )
+        upsert_index(spark, str(live), str(d / "wk"), wave2, "w2", **kw)
+        done.touch()
+    return str(live)
+
+
+_UPSERT_CORPUS_SQL = """
+      SELECT 'doc://' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+             CASE WHEN doc_id % 53 = 0
+                  THEN repeat('zephyr ', 1 + CAST(doc_id % 7 AS INT))
+                       || 'quill reindex corpus refresh number '
+                       || CAST(doc_id AS VARCHAR) || ' '
+                       || substr(text, 1, 60 + CAST(doc_id % 13 AS INT) * 7)
+                  ELSE text END AS text
+      FROM documents
+"""
+
+
+@register(
+    "fulltext_upsert_requery",
+    f"""
+    WITH corpus AS ({_UPSERT_CORPUS_SQL}),
+    lens AS (
+      SELECT url, len({_TOKS_SQL}) AS doc_len, text FROM corpus
+    ),
+    toks AS (
+      SELECT url, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT url, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('reindex', 'window', 'zephyr')
+      GROUP BY url, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.url AS url,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.url
+    ORDER BY score DESC, url ASC LIMIT 10
+    """,
+)
+def fulltext_upsert_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 carried through the index: upsert (tombstone + delta + merge),
+    then BM25 top-k over the LIVE corpus — stale postings must not
+    surface, and N/avgdl/df must be post-update exact, or the hash
+    diverges from the oracle (which recomputes BM25 from scratch over the
+    post-update corpus — a check Lucene's stale-until-merge stats could
+    not pass). Keyed by url because the replacement versions carry new
+    internal doc ids."""
+    from .operators.topk import IndexReader
+
+    p = _upsert_index_for(spark, sf_dir)
+    rd = IndexReader(spark, p)
+    hits = rd.search("zephyr reindex window", k=10)
+    urls = spark.read.parquet(p + "/docs/data").select("doc_id", "url")
+    return hits.join(F.broadcast(urls), "doc_id").select("url", "score")
+
+
+@register(
+    "fulltext_query_string",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE contains(' ' || array_to_string({_TOKS_SQL}, ' ') || ' ',
+                   ' table hash ')
+      AND len(list_filter({_TOKS_SQL}, t -> t LIKE 'wind%')) > 0
+      AND len(list_filter({_TOKS_SQL}, t -> t = 'join')) = 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's saved-search query language end-to-end
+    (visualization.py:46-53): parse ``"table hash" AND wind* -join`` and
+    execute it off the positional index — phrase verify + prefix
+    dictionary expansion + must_not anti-join, all as pruned posting
+    reads composed in Catalyst (functions/querystring.py,
+    IndexReader.query_string_docs)."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for_pos(spark, sf_dir)
+    return (
+        IndexReader(spark, idx)
+        .query_string_docs('"table hash" AND wind* -join')
+        .orderBy("doc_id")
+    )

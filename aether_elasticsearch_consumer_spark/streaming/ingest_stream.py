@@ -87,26 +87,47 @@ def stream_index(
     work.mkdir(parents=True, exist_ok=True)
 
     def handle_batch(batch_df, batch_id: int):
+        delta = work / f"batch_{batch_id}"
+        merged = work / f"merged_{batch_id}"
+        # crash-replay guard: a crash BETWEEN the live-symlink repoint and
+        # the streaming checkpoint commit replays this batch with its
+        # output already live; recomputing the offset from the live index
+        # would re-merge the docs under new ids. If this batch's own
+        # output dir already backs the symlink, the batch fully applied —
+        # nothing to do.
+        if live.is_symlink() and os.path.realpath(live) in (
+            str(delta.resolve()),
+            str(merged.resolve()),
+        ):
+            return
         if batch_df.isEmpty():
             return
         if not live.exists():
             # first batch bootstraps the index
-            first = work / f"batch_{batch_id}"
-            IndexBuilder(spark, str(first), **builder_kwargs).build(
+            IndexBuilder(spark, str(delta), **builder_kwargs).build(
                 batch_df, fingerprint_extra={"batch": batch_id}
             )
             tmp_link = work / ".live_tmp"
             if tmp_link.is_symlink():
                 tmp_link.unlink()
-            tmp_link.symlink_to(first.resolve())
+            tmp_link.symlink_to(delta.resolve())
             os.replace(tmp_link, live)
             return
-        off = next_doc_id_offset(spark, str(live))
-        delta = work / f"batch_{batch_id}"
+        # the delta offset is a PER-BATCH durable record, never recomputed
+        # from the live index (which may already contain a crashed merge of
+        # this very batch): first encounter pins it, replays reuse it — so
+        # the delta fingerprint is stable and its build checkpoint-resumes
+        off_file = work / f"batch_{batch_id}.offset"
+        if off_file.exists():
+            off = int(off_file.read_text())
+        else:
+            off = next_doc_id_offset(spark, str(live))
+            tmpf = work / f".batch_{batch_id}.offset.tmp"
+            tmpf.write_text(str(off))
+            os.replace(tmpf, off_file)
         IndexBuilder(
             spark, str(delta), doc_id_offset=off, **builder_kwargs
         ).build(batch_df, fingerprint_extra={"batch": batch_id})
-        merged = work / f"merged_{batch_id}"
         merge_indexes(spark, str(os.path.realpath(live)), str(delta), str(merged))
         tmp_link = work / ".live_tmp"
         if tmp_link.is_symlink():

@@ -236,3 +236,56 @@ def test_stream_index_continuous(spark, tmp_path):
     run()
     assert IndexReader(spark, str(live)).N == 200
     full.unpersist()
+
+
+def test_stream_index_replay_after_crash_is_noop(spark, tmp_path):
+    """At-least-once replay: if the process dies BETWEEN the live-symlink
+    repoint and the streaming checkpoint commit, the batch re-runs on
+    restart. The per-batch offset record + already-live guard must make
+    that replay a no-op — not a double-ingest under fresh doc ids."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
+        stream_index,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    full = webtext_df(spark, 160, partitions=2).cache()
+    page = "cast(substring(url, length(url) - 7, 8) as int)"
+    full.where(f"{page} < 100").coalesce(1).write.parquet(str(incoming / "w1"))
+    schema = spark.read.parquet(str(incoming / "w1")).schema
+    live = tmp_path / "live"
+
+    def run():
+        stream_index(
+            spark, str(incoming / "*"), schema, str(live),
+            str(tmp_path / "wk"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, docs_per_segment=64, term_buckets=4,
+        )
+
+    run()
+    full.where(f"{page} >= 100").coalesce(1).write.parquet(str(incoming / "w2"))
+    run()
+    assert IndexReader(spark, str(live)).N == 160
+    before = {
+        (r["doc_id"], r["url"])
+        for r in spark.read.parquet(str(live) + "/docs/data")
+        .select("doc_id", "url").collect()
+    }
+    # simulate the crash window: drop the LAST batch's commit marker so
+    # the restarted stream replays it from the offsets log
+    commits = sorted((tmp_path / "ckpt" / "commits").glob("[0-9]*"))
+    commits[-1].unlink()
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    run()
+    after = {
+        (r["doc_id"], r["url"])
+        for r in spark.read.parquet(str(live) + "/docs/data")
+        .select("doc_id", "url").collect()
+    }
+    assert after == before
+    assert IndexReader(spark, str(live)).N == 160
+    full.unpersist()
