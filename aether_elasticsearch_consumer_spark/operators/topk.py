@@ -800,6 +800,45 @@ class IndexReader:
             postings.groupBy("segment_id").applyInPandas(collect_pos, out_schema)
         )
 
+    def highlight(self, term: str, window: int = 5) -> DataFrame:
+        """ES ``highlight``: per matching doc, a fragment of ``window``
+        analyzed tokens on each side of the FIRST occurrence, the match
+        wrapped in ``<em>…</em>`` → DataFrame(doc_id, fragment).
+
+        The match position comes from the POSITIONAL INDEX (so this
+        value-checks the stored offsets end-to-end), the doc set is the
+        pruned posting read (never a corpus scan), and the fragment text
+        re-derives from the docs sidecar rows of the matching ids only —
+        window slicing + join is pure Catalyst. Fragments live in the
+        analyzed-token domain (tokens joined by single spaces), which is
+        what makes them exactly reproducible by a SQL oracle."""
+        toks_q = tokenize_py(term, self.profile)
+        if len(toks_q) != 1:
+            raise ValueError("highlight takes exactly one analyzed term")
+        term = toks_q[0]
+        first = self.term_positions(term).select(
+            "doc_id", (F.array_min("positions") + 1).alias("p")  # 1-based
+        )
+        docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
+            "doc_id", "text"
+        )
+        toks = tokenize_col("text", self.profile)
+        start = F.greatest(F.lit(1), F.col("p") - window)
+        prefix = F.when(
+            F.col("p") > 1, F.slice(toks, start, F.col("p") - start)
+        ).otherwise(F.array().cast("array<string>"))
+        mid = F.array(F.concat(F.lit("<em>"), F.lit(term), F.lit("</em>")))
+        suffix = F.slice(toks, F.col("p") + 1, window)
+        return (
+            first.join(docs, "doc_id")
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.concat(prefix, mid, suffix), " "
+                ).alias("fragment"),
+            )
+        )
+
     def phrase_docs(self, phrase: str, with_freq: bool = False) -> DataFrame:
         """Exact phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at

@@ -1815,3 +1815,34 @@ def fulltext_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         .query_string_docs('"table hash" AND wind* -join')
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fulltext_highlight",
+    f"""
+    WITH m AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             list_position({_TOKS_SQL}, 'window') AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             toks[CASE WHEN p > 5 THEN p - 5 ELSE 1 END : p - 1]
+             || ['<em>window</em>']
+             || toks[p + 1 : p + 5], ' ') AS fragment
+    FROM m WHERE p > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` (deep variant of X7's term match): first-occurrence
+    fragment per matching doc, match wrapped in <em>…</em>. The match
+    offset comes from the POSITIONAL index (value-checking the stored
+    positions end-to-end against DuckDB's list_position), the doc set from
+    the pruned posting read, the window slice from pure Catalyst."""
+    from .operators.topk import IndexReader
+
+    idx = _index_for_pos(spark, sf_dir)
+    return (
+        IndexReader(spark, idx).highlight("window", window=5).orderBy("doc_id")
+    )

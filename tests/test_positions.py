@@ -219,3 +219,58 @@ def test_build_rejects_doc_past_position_envelope(spark, tmp_path):
     )
     with pytest.raises(Exception, match="2\\^20 tokens"):
         b.build(src, fingerprint_extra="envelope")
+
+
+def test_highlight_fragments_match_python(pos_index):
+    """ES highlight: fragment = ±window analyzed tokens around the FIRST
+    occurrence, match wrapped in <em>…</em> — engine (index positions +
+    Catalyst window slice) vs a direct python computation, including
+    match-at-start and match-at-end edges."""
+    reader, docs = pos_index
+    term, w = "keta", 5
+
+    def py_frag(toks):
+        if term not in toks:
+            return None
+        p = toks.index(term)
+        return " ".join(
+            toks[max(0, p - w):p] + [f"<em>{term}</em>"] + toks[p + 1:p + 1 + w]
+        )
+
+    want = {}
+    for doc_id, text in docs:
+        f = py_frag(tokenize_py(text))
+        if f is not None:
+            want[doc_id] = f
+    got = {
+        r["doc_id"]: r["fragment"]
+        for r in reader.highlight(term, window=w).collect()
+    }
+    assert got == want and got
+
+
+def test_highlight_edge_positions(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            ("https://e/1", "keta starts this doc with words after"),
+            ("https://e/2", "doc that ends with the term keta"),
+            ("https://e/3", "keta"),
+            ("https://e/4", "no match here at all"),
+        ],
+        "url string, text string",
+    )
+    b = IndexBuilder(
+        spark, str(tmp_path / "i"), docs_per_segment=4, term_buckets=2,
+        with_positions=True,
+    )
+    b.build(src, fingerprint_extra="hl-edge")
+    rd = IndexReader(spark, str(tmp_path / "i"))
+    rows = {
+        r["fragment"]
+        for r in rd.highlight("keta", window=3).collect()
+    }
+    assert rows == {
+        "<em>keta</em> starts this doc",
+        "with the term <em>keta</em>",
+        "<em>keta</em>",
+    }
