@@ -129,6 +129,7 @@ def _select_topk(
 
 def _score_segment(
     pdf: pd.DataFrame,
+    sidecar: pd.DataFrame,
     N: int,
     avgdl: float,
     k: int,
@@ -138,7 +139,11 @@ def _score_segment(
 ) -> pd.DataFrame:
     """Score one segment's query-term posting rows. ``pdf`` has one row per
     posting block: term, df, block_no, first/last_doc_id, max_impact,
-    doc_deltas, tfs, plus the segment sidecar lens/start_doc_id.
+    doc_deltas, tfs; ``sidecar`` is the segment's ONE doclens row (lens,
+    start_doc_id, and the optional tombstone blob) delivered via cogroup —
+    joining it onto the posting rows instead would replicate the multi-KB
+    lens blob onto EVERY block row crossing the shuffle (measured ~40×
+    the real posting payload for a stopword query).
     Vectorized block-max MaxScore.
 
     ``bound_scale``: stored max_impacts were computed against the BUILD
@@ -154,11 +159,14 @@ def _score_segment(
     only removes candidates); N/avgdl/df arrive already delete-adjusted
     from the reader, so surviving scores are exactly the live-corpus
     BM25."""
-    lens_arr = varbyte_decode(pdf["lens"].iloc[0]).astype(np.float64)
-    start = int(pdf["start_doc_id"].iloc[0])
+    if not len(pdf) or not len(sidecar):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    lens_arr = varbyte_decode(sidecar["lens"].iloc[0]).astype(np.float64)
+    start = int(sidecar["start_doc_id"].iloc[0])
     alive = None
-    if "deleted" in pdf.columns:
-        blob = pdf["deleted"].iloc[0]
+    if "deleted" in sidecar.columns:
+        blob = sidecar["deleted"].iloc[0]
         if blob is not None and len(blob):
             from ..plans.tombstones import decode_id_set
 
@@ -421,11 +429,14 @@ class IndexReader:
                 ).alias("df"),
             )
         # df folds into the plan via broadcast (a query touches ≤ a few
-        # terms); doclens joins on segment_id — AQE broadcasts the filtered
-        # postings side at runtime when small, shuffle-joins when a head
-        # term's postings are genuinely large. Correct at 10^12 scale.
-        # prune doclens to segments that actually hold query-term postings
-        # before the join — at 10^12 docs the sidecar is ~10^8 rows, while
+        # terms). The doclens sidecar row reaches the scorer via COGROUP,
+        # not a pre-shuffle join: joined first, the multi-KB per-segment
+        # lens blob would replicate onto EVERY posting block row crossing
+        # the groupBy exchange — measured ~40× the real posting payload
+        # for a 5-stopword query (the round-2 p99 tail). Cogroup moves
+        # each segment's sidecar row across the wire exactly once.
+        # doclens is pruned to segments that actually hold query-term
+        # postings first — at 10^12 docs the sidecar is ~10^8 rows, while
         # the pruned segment list is tiny (broadcast semi-join, no shuffle)
         doclens = self._doclens.join(
             F.broadcast(postings.select("segment_id").distinct()),
@@ -433,22 +444,24 @@ class IndexReader:
             "left_semi",
         )
         if self._del_seg is not None:
-            # the per-segment tombstone blob rides the same sidecar join;
+            # the per-segment tombstone blob rides the same sidecar row;
             # segments with no deletes get NULL and the scorer skips masking
             doclens = doclens.join(
                 self._del_seg.select("segment_id", "deleted"),
                 "segment_id",
                 "left",
             )
-        joined = postings.join(F.broadcast(stats), "term").join(
-            doclens, "segment_id"
-        )
+        joined = postings.join(F.broadcast(stats), "term")
         N, avgdl, bscale = self.N, self.avgdl, self.bound_scale
 
-        def score(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_segment(pdf, N, avgdl, k, bound_scale=bscale)
+        def score(pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+            return _score_segment(pdf, side, N, avgdl, k, bound_scale=bscale)
 
-        per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
+        per_seg = (
+            joined.groupBy("segment_id")
+            .cogroup(doclens.groupBy("segment_id"))
+            .applyInPandas(score, TOPK_SCHEMA)
+        )
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def match_docs(self, query: str, mode: str = "and") -> DataFrame:
