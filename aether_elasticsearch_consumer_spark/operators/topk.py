@@ -167,7 +167,8 @@ def _score_segment(
     alive = None
     if "deleted" in sidecar.columns:
         blob = sidecar["deleted"].iloc[0]
-        if blob is not None and len(blob):
+        # NaN (not None) when the join left this segment's blob null
+        if isinstance(blob, (bytes, bytearray)) and len(blob):
             from ..plans.tombstones import decode_id_set
 
             alive = np.ones(len(lens_arr), dtype=bool)
@@ -429,15 +430,19 @@ class IndexReader:
                 ).alias("df"),
             )
         # df folds into the plan via broadcast (a query touches ≤ a few
-        # terms). The doclens sidecar row reaches the scorer via COGROUP,
-        # not a pre-shuffle join: joined first, the multi-KB per-segment
-        # lens blob would replicate onto EVERY posting block row crossing
-        # the groupBy exchange — measured ~40× the real posting payload
-        # for a 5-stopword query (the round-2 p99 tail). Cogroup moves
-        # each segment's sidecar row across the wire exactly once.
-        # doclens is pruned to segments that actually hold query-term
-        # postings first — at 10^12 docs the sidecar is ~10^8 rows, while
-        # the pruned segment list is tiny (broadcast semi-join, no shuffle)
+        # terms). The doclens sidecar joins onto ONE row per (segment,
+        # term) — the block_no=0 row — never onto every posting block row:
+        # joined per-row, the multi-KB per-segment lens blob replicates
+        # across the groupBy exchange at blocks-per-term multiplicity
+        # (~64×; measured ~390 MB of duplicated lens bytes for a
+        # 5-stopword query at 1M docs — the round-2 p99 tail). A cogroup
+        # would move it exactly once but costs an extra exchange+sort and
+        # a two-stream python worker feed (measured 3× worse on mid-freq
+        # queries); the block_no=0 equi-join keeps the single-exchange
+        # plan shape. doclens is pruned to segments that actually hold
+        # query-term postings first — at 10^12 docs the sidecar is ~10^8
+        # rows, while the pruned segment list is tiny (broadcast
+        # semi-join, no shuffle).
         doclens = self._doclens.join(
             F.broadcast(postings.select("segment_id").distinct()),
             "segment_id",
@@ -451,17 +456,22 @@ class IndexReader:
                 "segment_id",
                 "left",
             )
-        joined = postings.join(F.broadcast(stats), "term")
+        side_cols = ["segment_id", "start_doc_id", "lens"] + (
+            ["deleted"] if self._del_seg is not None else []
+        )
+        doclens_b0 = doclens.select(*side_cols).withColumn(
+            "block_no", F.lit(0)
+        )
+        joined = postings.join(F.broadcast(stats), "term").join(
+            doclens_b0, ["segment_id", "block_no"], "left"
+        )
         N, avgdl, bscale = self.N, self.avgdl, self.bound_scale
 
-        def score(pdf: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            side = pdf.loc[pdf["lens"].notna()]
             return _score_segment(pdf, side, N, avgdl, k, bound_scale=bscale)
 
-        per_seg = (
-            joined.groupBy("segment_id")
-            .cogroup(doclens.groupBy("segment_id"))
-            .applyInPandas(score, TOPK_SCHEMA)
-        )
+        per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def match_docs(self, query: str, mode: str = "and") -> DataFrame:
