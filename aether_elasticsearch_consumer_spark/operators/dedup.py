@@ -177,18 +177,17 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     # the shingle table feeds three consumers (banding + two candidate
-    # re-attach joins); materialize it once via an EAGER localCheckpoint
-    # so tokenize+shingle runs once — at corpus scale this is the
-    # materialized build artifact. localCheckpoint, not persist(): a
-    # persist has no unpersist hook on a lazily-returned plan and its
-    # CacheManager entry outlives the call (the round-2 advisor's
-    # storage-leak finding — this function is invoked by two registry
-    # entries per session); checkpoint blocks are released by the
-    # ContextCleaner when the returned plan is dropped. The hashed int
-    # shingles ("shi", the minhash input) materialize alongside the raw
-    # grams: computed inline they would re-evaluate the per-gram hash
-    # fold inside each of the n_hashes minhash expressions after project
-    # collapse.
+    # re-attach joins); persist it so tokenize+shingle runs once — at
+    # corpus scale this is the materialized build artifact. persist, NOT
+    # localCheckpoint: a checkpointed LogicalRDD pins ALL columns and
+    # loses per-consumer column pruning (the banding branch reads only
+    # (id, shi), the re-attach joins only (id, sh) — measured 3× slower
+    # checkpointed). The cache is explicitly unpersisted below once the
+    # (tiny) verified pair set is materialized, closing the round-2
+    # advisor's storage-leak finding. The hashed int shingles ("shi", the
+    # minhash input) persist alongside the raw grams: computed inline
+    # they would re-evaluate the per-gram hash fold inside each of the
+    # n_hashes minhash expressions after project collapse.
     grams = shingle_hashes(F.col(text_col), shingle_n, profile, hashed)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -200,7 +199,7 @@ def minhash_lsh_pairs(
                 grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
             )
         ).alias("shi"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     sig = base.select(
         "id", minhash_signature_arrow(n_hashes)(F.col("shi")).alias("sig")
     )
@@ -248,12 +247,19 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    result = (
         pairs.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+    # materialize the verified pair set (tiny relative to the corpus —
+    # its checkpoint blocks free with the returned plan via the
+    # ContextCleaner) so the shingle cache can be released NOW instead of
+    # leaking across calls
+    out = result.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

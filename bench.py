@@ -46,6 +46,8 @@ HEADLINE = [
     "text_lang_id",
     "fulltext_phrase_scored",
     "fulltext_fuzzy_count",
+    "fulltext_query_string",
+    "fulltext_highlight",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
