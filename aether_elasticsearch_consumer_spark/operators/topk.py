@@ -136,6 +136,7 @@ def _score_segment(
     k1: float = K1,
     b: float = BM25_B,
     bound_scale: float = 1.0,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Score one segment's query-term posting rows. ``pdf`` has one row per
     posting block: term, df, block_no, first/last_doc_id, max_impact,
@@ -158,7 +159,16 @@ def _score_segment(
     never surface. Stored block bounds stay valid upper bounds (masking
     only removes candidates); N/avgdl/df arrive already delete-adjusted
     from the reader, so surviving scores are exactly the live-corpus
-    BM25."""
+    BM25.
+
+    ``after``: ES search_after cursor ``(score, doc_id)`` — keep only
+    docs strictly after the cursor in (score desc, doc_id asc) order.
+    Pruning is DISABLED when a cursor is set: the thresholds are fed by
+    partial sums of docs that may land BEFORE the cursor, and a
+    threshold inflated by an excluded doc could prune a legitimate
+    page-2 hit. Deep paging therefore evaluates the query terms'
+    postings exhaustively — the same cost profile as Lucene's
+    searchAfter — and stays exact."""
     if not len(pdf) or not len(sidecar):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
@@ -211,7 +221,11 @@ def _score_segment(
             # 1e-9 margin: scores are rounded to 9 decimals before ranking,
             # so a skipped posting must be strictly below kth even after
             # rounding, or it could displace the k-th by doc_id tie-break
-            if n_cand >= k and idf * chunk[0]["max_impact"] < kth - 1e-9:
+            if (
+                after is None
+                and n_cand >= k
+                and idf * chunk[0]["max_impact"] < kth - 1e-9
+            ):
                 break
             ids, tfs_ = _decode_blocks_batch(chunk)
             pos = ids - start
@@ -236,6 +250,11 @@ def _score_segment(
                                  "score": pd.Series(dtype="float64")})
         cand = np.concatenate(pos_parts)
         scores = np.round(np.concatenate(sc_parts), 9)
+        if after is not None:
+            keep = (scores < after[0]) | (
+                (scores == after[0]) & ((cand + start) > after[1])
+            )
+            cand, scores = cand[keep], scores[keep]
         cand, scores = _select_topk(cand, scores, k)
         return pd.DataFrame(
             {"doc_id": (cand + start).astype(np.int64), "score": scores}
@@ -296,7 +315,7 @@ def _score_segment(
             # tighten θ from the exact partial sums accumulated so far
             acc_run[p] += s
             cand_now = np.flatnonzero(seen)
-            if len(cand_now) >= k:
+            if after is None and len(cand_now) >= k:
                 threshold = float(
                     np.partition(acc_run[cand_now], -k)[-k]
                 )
@@ -308,6 +327,11 @@ def _score_segment(
         acc[p] += s
     cand = np.flatnonzero(seen)
     scores = np.round(acc[cand], 9)
+    if after is not None:
+        keep = (scores < after[0]) | (
+            (scores == after[0]) & ((cand + start) > after[1])
+        )
+        cand, scores = cand[keep], scores[keep]
     cand, scores = _select_topk(cand, scores, k)
     return pd.DataFrame({"doc_id": (cand + start).astype(np.int64), "score": scores})
 
@@ -406,11 +430,27 @@ class IndexReader:
                     dfs[r["term"]] -= int(r["df_delta"])
         return dfs
 
-    def search(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k BM25 → DataFrame(doc_id, score) globally ordered."""
-        terms = sorted(set(tokenize_py(query, self.profile)))
-        if not terms or k < 1:
-            return self.spark.createDataFrame([], TOPK_SCHEMA)
+    def _scored_per_segment(
+        self, terms: list[str], k: int, after: tuple[float, int] | None
+    ) -> DataFrame:
+        """The shared scoring plan: pruned posting read → broadcast
+        (delete-adjusted) df → block_no=0 sidecar attach → per-segment
+        block-max scorer. No global sort/limit — callers add their own
+        cut (top-k, cursor page, or none for exhaustive scoring).
+
+        The doclens sidecar joins onto ONE row per (segment, term) — the
+        block_no=0 row — never onto every posting block row: joined
+        per-row, the multi-KB per-segment lens blob replicates across the
+        groupBy exchange at blocks-per-term multiplicity (~64×; measured
+        ~390 MB of duplicated lens bytes for a 5-stopword query at 1M
+        docs — the round-2 p99 tail). A cogroup would move it exactly
+        once but costs an extra exchange+sort and a two-stream python
+        worker feed (measured 3× worse on mid-freq queries); the
+        block_no=0 equi-join keeps the single-exchange plan shape.
+        doclens is pruned to segments that actually hold query-term
+        postings first — at 10^12 docs the sidecar is ~10^8 rows, while
+        the pruned segment list is tiny (broadcast semi-join, no
+        shuffle)."""
         buckets = self._buckets_for(terms)
         bucket_pred = F.col("term_bucket").isin(
             list(set(buckets.values()))
@@ -429,20 +469,6 @@ class IndexReader:
                     F.col("df") - F.coalesce(F.col("df_delta"), F.lit(0))
                 ).alias("df"),
             )
-        # df folds into the plan via broadcast (a query touches ≤ a few
-        # terms). The doclens sidecar joins onto ONE row per (segment,
-        # term) — the block_no=0 row — never onto every posting block row:
-        # joined per-row, the multi-KB per-segment lens blob replicates
-        # across the groupBy exchange at blocks-per-term multiplicity
-        # (~64×; measured ~390 MB of duplicated lens bytes for a
-        # 5-stopword query at 1M docs — the round-2 p99 tail). A cogroup
-        # would move it exactly once but costs an extra exchange+sort and
-        # a two-stream python worker feed (measured 3× worse on mid-freq
-        # queries); the block_no=0 equi-join keeps the single-exchange
-        # plan shape. doclens is pruned to segments that actually hold
-        # query-term postings first — at 10^12 docs the sidecar is ~10^8
-        # rows, while the pruned segment list is tiny (broadcast
-        # semi-join, no shuffle).
         doclens = self._doclens.join(
             F.broadcast(postings.select("segment_id").distinct()),
             "segment_id",
@@ -469,10 +495,120 @@ class IndexReader:
 
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
             side = pdf.loc[pdf["lens"].notna()]
-            return _score_segment(pdf, side, N, avgdl, k, bound_scale=bscale)
+            return _score_segment(
+                pdf, side, N, avgdl, k, bound_scale=bscale, after=after
+            )
 
-        per_seg = joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
+        return joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Top-k BM25 → DataFrame(doc_id, score) globally ordered.
+
+        ``after``: ES search_after cursor — the (score, doc_id) of the
+        previous page's last hit; returns the next k docs strictly after
+        it in (score desc, doc_id asc) order. Cursor paging disables
+        block-max pruning (see ``_score_segment``) but never re-returns
+        or skips a doc, ES-exact."""
+        terms = sorted(set(tokenize_py(query, self.profile)))
+        if not terms or k < 1:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        per_seg = self._scored_per_segment(terms, k, after)
         return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_after(
+        self, query: str, after_score: float, after_doc_id: int, k: int = 10
+    ) -> DataFrame:
+        """ES ``search_after`` deep pagination: the page following the hit
+        ``(after_score, after_doc_id)``. Because scores round to 9 dp and
+        ties break on doc_id, (score desc, doc_id asc) is a TOTAL order —
+        page N+1 via cursor equals rows [N·k, (N+1)·k) of the full
+        ranking, with per-page cost independent of page depth (no
+        offset-k re-materialization on the driver)."""
+        return self.search(query, k=k, after=(float(after_score), int(after_doc_id)))
+
+    def score_matches(self, query: str) -> DataFrame:
+        """BM25 scores for EVERY matching doc (no top-k cut) →
+        DataFrame(doc_id, score). The primitive under field collapse and
+        export-style scans; per-segment evaluation is exhaustive by
+        construction (k=∞ means the pruning threshold never arms)."""
+        terms = sorted(set(tokenize_py(query, self.profile)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self._scored_per_segment(terms, 1 << 62, None)
+
+    def collapse_top_hits(
+        self, query: str, keys: DataFrame, key_col: str, k_per_key: int = 1
+    ) -> DataFrame:
+        """ES field collapse: the best ``k_per_key`` hits per distinct
+        ``key_col`` value → (key, doc_id, score). ``keys`` maps doc_id →
+        key (typically the docs sidecar). Scores every match once
+        (``score_matches``), joins the key, and takes per-key leaders
+        with a KEY-PARTITIONED window — never a global sort of the match
+        set."""
+        from pyspark.sql import Window
+
+        scored = self.score_matches(query).join(
+            keys.select("doc_id", key_col), "doc_id"
+        )
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k_per_key)
+            .drop("_rn")
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        max_query_terms: int = 10,
+        k: int = 10,
+        min_term_len: int = 1,
+    ) -> DataFrame:
+        """ES ``more_like_this`` (single liked doc): select the doc's
+        ``max_query_terms`` most characteristic terms by tf·idf (idf from
+        the live index stats; 6-dp round then term-asc tie-break, so the
+        selection is reproducible by a SQL oracle), then BM25-search their
+        OR and drop the seed doc. The seed text is ONE pruned row off the
+        docs sidecar; the tf·idf ranking is driver-side arithmetic over
+        ≤ a few hundred (term, df) rows."""
+        from collections import Counter
+
+        row = (
+            self.spark.read.parquet(str(self.dir / "docs/data"))
+            .where(F.col("doc_id") == doc_id)
+            .select("text")
+            .collect()
+        )
+        if not row:
+            raise ValueError(f"doc_id {doc_id} not in index")
+        tf = Counter(
+            t
+            for t in tokenize_py(row[0]["text"], self.profile)
+            if len(t) >= min_term_len
+        )
+        dfs = self.term_dfs(sorted(tf))
+        ranked = sorted(
+            (
+                (-round(c * float(idf_np(self.N, dfs.get(t, 0))), 6), t)
+                for t, c in tf.items()
+            ),
+        )[:max_query_terms]
+        terms = [t for _, t in ranked]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        hits = self.search(" ".join(terms), k=k + 1)
+        return (
+            hits.where(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def match_docs(self, query: str, mode: str = "and") -> DataFrame:
         """Unscored boolean term query (X7/X10) straight off the postings:

@@ -1846,3 +1846,131 @@ def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         IndexReader(spark, idx).highlight("window", window=5).orderBy("doc_id")
     )
+
+
+@register(
+    "fulltext_search_after",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('join', 'spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.doc_id AS doc_id,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+    """,
+)
+def fulltext_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` deep pagination: page 2 of the flagship query
+    via the (score, doc_id) cursor of page 1's last hit. Because the
+    ranking is a TOTAL order (9-dp scores, doc_id tie-break), the cursor
+    page must equal the oracle's LIMIT/OFFSET rows exactly — any cursor
+    off-by-one or pruning-under-cursor bug breaks the hash."""
+    rd = _reader_for(spark, sf_dir)
+    last = rd.search(_Q1, k=10).collect()[-1]
+    return rd.search_after(_Q1, last["score"], last["doc_id"], k=10)
+
+
+@register(
+    "fulltext_collapse_lang",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('join', 'spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+      FROM tf, dft, stats WHERE tf.term = dft.term
+      GROUP BY tf.doc_id
+    )
+    SELECT d.lang AS lang, s.doc_id AS doc_id, s.score AS score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    QUALIFY row_number() OVER (
+      PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) = 1
+    ORDER BY lang
+    """,
+)
+def fulltext_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapse: the single best BM25 hit per ``lang``. Scores
+    every match once (exhaustive per-segment scorer), joins the collapse
+    key from the docs sidecar, per-key leader via a KEY-partitioned
+    window — never a global sort of the match set."""
+    from .operators.topk import IndexReader
+
+    rd = _reader_for(spark, sf_dir)
+    keys = spark.read.parquet(_index_for(spark, sf_dir) + "/docs/data").select(
+        "doc_id", "lang"
+    )
+    return (
+        rd.collapse_top_hits(_Q1, keys, "lang", k_per_key=1)
+        .select("lang", "doc_id", "score")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "fulltext_more_like_this",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf_all AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf_all GROUP BY term
+    ),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    sel AS (
+      SELECT s.term
+      FROM tf_all s, dft d, stats st
+      WHERE s.doc_id = 42 AND s.term = d.term
+      ORDER BY round(s.tf * ln(1.0 + (st.N - d.df + 0.5) / (d.df + 0.5)), 6)
+               DESC, s.term ASC
+      LIMIT 10
+    ),
+    tf AS (
+      SELECT * FROM tf_all WHERE term IN (SELECT term FROM sel)
+    )
+    SELECT tf.doc_id AS doc_id,
+           round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+    FROM tf, dft, stats WHERE tf.term = dft.term
+    GROUP BY tf.doc_id
+    HAVING tf.doc_id != 42
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this`` (liked doc 42): its 10 most characteristic
+    terms by tf·idf (6-dp round, term-asc tie-break — the oracle replays
+    the selection rule), then BM25 over their OR with the seed dropped.
+    Seed text is one pruned sidecar row; term selection is driver
+    arithmetic over (term, df) rows; retrieval is the standard indexed
+    path."""
+    rd = _reader_for(spark, sf_dir)
+    return rd.more_like_this(42, max_query_terms=10, k=10)
