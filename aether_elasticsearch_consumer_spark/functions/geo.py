@@ -73,3 +73,36 @@ def geohash(lat: Column | str, lon: Column | str, precision: int = 2) -> Column:
     la = F.col(lat) if isinstance(lat, str) else lat
     lo = F.col(lon) if isinstance(lon, str) else lon
     return make_geohash_udf(precision)(la, lo)
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters (haversine, R=6371km — the ES
+    ``arc`` default's constant), as a pure Column expression (JVM trig,
+    whole-stage codegen). Backs the ES ``geo_distance`` filter/sort.
+
+    Float contract: the same formula renders in DuckDB SQL
+    (``haversine_duckdb_sql``); libm one-ulp trig differences only matter
+    for points within ~millimeters of a filter radius, the same
+    boundary-measure-zero exposure as the engine's ln()-based idf."""
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = (rad(lat2) - rad(lat1)) / 2
+    dlon = (rad(lon2) - rad(lon1)) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rad(lat1)) * F.cos(rad(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+def haversine_duckdb_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The DuckDB rendering of ``haversine_m`` — kept literally in sync."""
+    r = lambda c: f"radians({c})"  # noqa: E731
+    dlat = f"(({r(lat2)}) - ({r(lat1)})) / 2"
+    dlon = f"(({r(lon2)}) - ({r(lon1)})) / 2"
+    a = (
+        f"sin({dlat}) * sin({dlat}) + cos({r(lat1)}) * cos({r(lat2)})"
+        f" * sin({dlon}) * sin({dlon})"
+    )
+    return f"(2.0 * 6371000.0 * asin(sqrt({a})))"

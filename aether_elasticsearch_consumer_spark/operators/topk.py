@@ -880,6 +880,12 @@ class IndexReader:
         scale flag), doc lengths join from the docs sidecar, constants
         (N, avgdl) ride the plan. Determinism contract as everywhere:
         float64, 9-dp round, (score desc, doc_id asc)."""
+        scored = self.phrase_scores(phrase)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def phrase_scores(self, phrase: str) -> DataFrame:
+        """BM25 phrase score for EVERY phrase-matching doc (the un-cut
+        form of ``search_phrase``; also the rescore-query primitive)."""
         matches = self.phrase_docs(phrase, with_freq=True)
         docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
             "doc_id", "doc_len"
@@ -887,7 +893,7 @@ class IndexReader:
         from ..functions.bm25 import bm25_cols
 
         df_count = matches.agg(F.count("*").alias("_df"))
-        scored = (
+        return (
             matches.join(docs, "doc_id")
             .crossJoin(F.broadcast(df_count))
             .withColumn(
@@ -905,7 +911,60 @@ class IndexReader:
             )
             .select("doc_id", "score")
         )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def rescore_phrase(
+        self,
+        query: str,
+        phrase: str,
+        window: int = 50,
+        k: int = 10,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> DataFrame:
+        """ES ``rescore``: re-rank the top-``window`` BM25 hits by adding a
+        weighted match_phrase score — the standard precision bump for
+        phrase-ish queries without paying phrase verification on the whole
+        match set. final = query_weight·bm25 + rescore_weight·phrase_bm25
+        (0 for window docs without the exact phrase), rounded to 9 dp,
+        (score desc, doc_id asc). The window cut uses the same total order
+        as everything else, so membership is deterministic."""
+        base = self.search(query, k=window)
+        ph = self.phrase_scores(phrase).withColumnRenamed("score", "_ph")
+        combined = (
+            base.join(ph, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("score") * query_weight
+                    + F.coalesce(F.col("_ph"), F.lit(0.0)) * rescore_weight,
+                    9,
+                ).alias("score"),
+            )
+        )
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """ES ``_termvectors``: per-term within-doc tf + corpus df for one
+        doc → (term, tf, df) ordered by term. The doc text is ONE pruned
+        sidecar row; dfs come from the pruned term_stats read
+        (delete-adjusted when tombstones exist) — everything is
+        metadata-sized."""
+        rows = (
+            self.spark.read.parquet(str(self.dir / "docs/data"))
+            .where(F.col("doc_id") == doc_id)
+            .select("text")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in index")
+        from collections import Counter
+
+        tf = Counter(tokenize_py(rows[0]["text"], self.profile))
+        dfs = self.term_dfs(sorted(tf))
+        return self.spark.createDataFrame(
+            [(t, int(c), int(dfs.get(t, 0))) for t, c in sorted(tf.items())],
+            "term string, tf long, df long",
+        )
 
     def term_positions(self, term: str) -> DataFrame:
         """The stored within-doc token offsets of ``term`` per matching doc

@@ -1974,3 +1974,185 @@ def fulltext_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     rd = _reader_for(spark, sf_dir)
     return rd.more_like_this(42, max_query_terms=10, k=10)
+
+
+_COORDS_SQL = """
+      SELECT event_id,
+             (CASE WHEN value % 180.0 < 0 THEN value % 180.0 + 180.0
+                   ELSE value % 180.0 END) - 90 AS lat,
+             (CASE WHEN (value * 2) % 360.0 < 0 THEN (value * 2) % 360.0 + 360.0
+                   ELSE (value * 2) % 360.0 END) - 180 AS lon
+      FROM events
+      WHERE value IS NOT NULL
+"""
+
+
+def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (F.pmod(F.col("value"), F.lit(180.0)) - 90).alias("lat"),
+            (F.pmod(F.col("value") * 2, F.lit(360.0)) - 180).alias("lon"),
+        )
+    )
+
+
+@register(
+    "geo_bbox_filter",
+    f"""
+    WITH coords AS ({_COORDS_SQL})
+    SELECT event_id FROM coords
+    WHERE lat BETWEEN -10.0 AND 30.0 AND lon BETWEEN 20.0 AND 80.0
+    ORDER BY event_id
+    """,
+)
+def geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounding_box`` filter (the geopoint fields the reference
+    builds in F3/F4 exist to serve exactly these map-dashboard filters):
+    pure comparison predicates, pushed to the scan, boundary-exact on
+    both sides."""
+    c = _coords(spark, sf_dir)
+    return (
+        c.where(
+            F.col("lat").between(-10.0, 30.0) & F.col("lon").between(20.0, 80.0)
+        )
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "geo_distance_filter",
+    f"""
+    WITH coords AS ({_COORDS_SQL})
+    SELECT event_id FROM coords
+    WHERE {{dist}} <= 2000000.0
+    ORDER BY event_id
+    """.replace(
+        "{dist}",
+        __import__(
+            "aether_elasticsearch_consumer_spark.functions.geo",
+            fromlist=["haversine_duckdb_sql"],
+        ).haversine_duckdb_sql("lat", "lon", "10.0", "40.0"),
+    ),
+)
+def geo_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` filter: events within 2,000 km of (10, 40) by
+    haversine (R=6371 km, the ES arc default) — one Column-expression
+    formula (JVM trig, codegen) rendered identically in the DuckDB
+    oracle. Membership-only output: libm one-ulp trig differences could
+    flip a 9-dp distance hash, but a membership flip needs a point within
+    ~micrometers of the radius (measure-zero at any corpus size)."""
+    from .functions.geo import haversine_m
+
+    c = _coords(spark, sf_dir)
+    d = haversine_m(F.col("lat"), F.col("lon"), F.lit(10.0), F.lit(40.0))
+    return c.where(d <= 2000000.0).select("event_id").orderBy("event_id")
+
+
+@register(
+    "fulltext_agg_combo",
+    f"""
+    SELECT lang, count(*)::BIGINT AS cnt FROM documents
+    WHERE len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+    GROUP BY lang ORDER BY cnt DESC, lang ASC
+    """,
+)
+def fulltext_agg_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES search-request composition: a full-text query WITH an
+    aggregation over its hits (every Kibana dashboard panel is this
+    shape). Matching ids come from the pruned posting read — never a
+    corpus scan — then the terms agg runs over the semi-joined hits."""
+    rd = _reader_for(spark, sf_dir)
+    hits = rd.match_docs("window", "and")
+    docs = _docs(spark, sf_dir).join(hits, "doc_id", "left_semi")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+    )
+
+
+@register(
+    "fulltext_term_vectors",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, count(*)::BIGINT AS tf FROM toks
+      WHERE doc_id = 42 GROUP BY term
+    ),
+    dft AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+    )
+    SELECT tf.term AS term, tf.tf AS tf, dft.df AS df
+    FROM tf JOIN dft ON tf.term = dft.term
+    ORDER BY term
+    """,
+)
+def fulltext_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` (doc 42): within-doc tf + corpus df per term.
+    One pruned sidecar row + the pruned term_stats read — the whole call
+    is metadata-sized regardless of corpus size."""
+    return _reader_for(spark, sf_dir).term_vectors(42)
+
+
+@register(
+    "fulltext_rescore_phrase",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, {_TOKS_SQL} AS toks, text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest(toks) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('hash', 'table')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    base AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+      FROM tf, dft, stats WHERE tf.term = dft.term
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 50
+    ),
+    pf AS (
+      SELECT doc_id, doc_len,
+             len(list_filter(range(1, len(toks)),
+                 i -> toks[i] = 'table' AND toks[i+1] = 'hash'))::BIGINT AS pf
+      FROM lens
+    ),
+    phstats AS (SELECT count(*)::BIGINT AS pdf FROM pf WHERE pf > 0),
+    ph AS (
+      SELECT p.doc_id,
+             round({bm25_duckdb_sql('p.pf', 'phstats.pdf', 'p.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS phscore
+      FROM pf p, phstats, stats WHERE p.pf > 0
+    )
+    SELECT b.doc_id AS doc_id,
+           round(b.score * 1.0 + coalesce(ph.phscore, 0.0) * 2.0, 9) AS score
+    FROM base b LEFT JOIN ph ON b.doc_id = ph.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: BM25 top-50 window for the bag-of-words query
+    ("table hash" as OR terms), re-ranked by adding 2× the exact
+    match_phrase BM25 score — phrase verification (positional index) runs
+    only on phrase matches, never the whole match set. The oracle
+    recomputes both layers, including the window cut, on the shared
+    total order."""
+    from .operators.topk import IndexReader
+
+    rd = IndexReader(spark, _index_for_pos(spark, sf_dir))
+    return rd.rescore_phrase(
+        "table hash", "table hash", window=50, k=10,
+        query_weight=1.0, rescore_weight=2.0,
+    )
