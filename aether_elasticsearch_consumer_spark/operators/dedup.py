@@ -567,3 +567,70 @@ def embedding_neardup_lsh(
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup pairs → (id, canonical) where canonical = the MINIMUM id
+    in each connected component — the step that turns pairwise dedup
+    output into keep/drop decisions (keep a doc iff id == canonical).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    set — each round every node takes min(own label, neighbors' labels);
+    converged when no label changes (one scalar count per round, the only
+    driver action). Rounds = component diameter; near-dup clusters are
+    shallow (a boilerplate family is a dense blob, not a path), so this
+    converges in a handful of rounds at any corpus size. The label table
+    localCheckpoints each round: iterative self-joins otherwise stack
+    lineage into an exponential plan. Output is algorithm-independent
+    (the component-min is unique), so a SQL oracle can replay it with a
+    recursive CTE."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (pathological chain — raise max_iterations)"
+        )
+    return labels.select(F.col("id"), F.col("lbl").alias("canonical"))

@@ -2156,3 +2156,77 @@ def fulltext_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table hash", "table hash", window=50, k=10,
         query_weight=1.0, rescore_weight=2.0,
     )
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+             )) AS grams
+      FROM documents
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE round(j, 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+    )
+    SELECT id, min(lbl) AS canonical FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical (minimum) id per
+    doc — the step that turns pairwise dedup output into keep/drop
+    decisions for a training set. Engine: iterative min-label propagation
+    (rounds = component diameter, one scalar action per round); oracle: a
+    recursive CTE over the same verified pair graph. The component-min is
+    algorithm-independent, so the hash pins the semantics, not the
+    iteration schedule."""
+    from .operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        n_hashes=64, bands=32, jaccard_threshold=0.5, hashed=False,
+    )
+    return connected_components(pairs).orderBy("id")
+
+
+@register(
+    "fulltext_analyze",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOKS_SQL.replace("text", "'The QUICK brown-fox #42 jumps!'")}) AS token,
+             generate_subscripts({_TOKS_SQL.replace("text", "'The QUICK brown-fox #42 jumps!'")}, 1) - 1 AS position
+    )
+    SELECT position::BIGINT AS position, token FROM t ORDER BY position
+    """,
+)
+def fulltext_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_analyze``: the analyzer's view of a probe string — (position,
+    token) rows. Pins the engine-side tokenizer Column expression against
+    the oracle's SQL rendering on punctuation/case/number edges (the
+    shared-spec invariant everything else rests on)."""
+    probe = "The QUICK brown-fox #42 jumps!"
+    return (
+        spark.range(1)
+        .select(
+            F.posexplode(tokenize_col(F.lit(probe))).alias("position", "token")
+        )
+        .select(F.col("position").cast("long").alias("position"), "token")
+        .orderBy("position")
+    )

@@ -331,3 +331,28 @@ class TestRealImageDecode:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_connected_components_chain_and_blob(spark):
+    """Min-label propagation: a 4-node chain (diameter 3), a triangle, an
+    isolated pair — canonical = component min for every node; nodes not
+    in any pair don't appear."""
+    from aether_elasticsearch_consumer_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # pair
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["canonical"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
