@@ -547,14 +547,34 @@ class IndexReader:
         """ES field collapse: the best ``k_per_key`` hits per distinct
         ``key_col`` value → (key, doc_id, score). ``keys`` maps doc_id →
         key (typically the docs sidecar). Scores every match once
-        (``score_matches``), joins the key, and takes per-key leaders
-        with a KEY-PARTITIONED window — never a global sort of the match
-        set."""
-        from pyspark.sql import Window
+        (``score_matches``), joins the key, then takes per-key leaders.
 
+        k_per_key=1 (the common ES collapse) runs as max(struct(score,
+        −doc_id)) — a hash aggregate with map-side partial combine, so a
+        LOW-cardinality collapse key (a handful of langs over 10^12 rows)
+        never funnels a key's whole match set through one window task.
+        k_per_key>1 falls back to the key-partitioned window (fine when
+        keys are plentiful; inherently per-key-serial when they aren't)."""
         scored = self.score_matches(query).join(
             keys.select("doc_id", key_col), "doc_id"
         )
+        if k_per_key == 1:
+            # struct ordering = (score asc, -doc_id asc): max() picks the
+            # highest score, then the LOWEST doc_id — the exact tie-break
+            agg = scored.groupBy(key_col).agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("doc_id")).alias("_nid")
+                    )
+                ).alias("_m")
+            )
+            return agg.select(
+                key_col,
+                (-F.col("_m._nid")).alias("doc_id"),
+                F.col("_m.score").alias("score"),
+            )
+        from pyspark.sql import Window
+
         w = Window.partitionBy(key_col).orderBy(
             F.desc("score"), F.asc("doc_id")
         )
