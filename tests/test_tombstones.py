@@ -207,3 +207,29 @@ def test_upsert_replaces_postings(spark, tmp_path):
                       docs_per_segment=64, term_buckets=4)
     assert p3 == p2
     assert IndexReader(spark, p3).N == 200
+
+
+def test_delete_everything_and_whole_segments(spark, tmp_path):
+    """Degenerate tombstone shapes: an entire segment dead (its sidecar
+    blob covers every doc), then the whole corpus dead (N_live=0) — no
+    division blowups, every query path returns empty."""
+    src = webtext_df(spark, 128, partitions=2)
+    KW2 = dict(docs_per_segment=32, term_buckets=4, with_positions=True)
+    IndexBuilder(spark, str(tmp_path / "i"), **KW2).build(
+        src, fingerprint_extra="edge128"
+    )
+    # kill segment 1 completely (ids 32..63)
+    apply_deletes(spark, str(tmp_path / "i"), list(range(32, 64)))
+    rd = IndexReader(spark, str(tmp_path / "i"))
+    assert rd.N == 96
+    hits = {r["doc_id"] for r in rd.match_docs("the", "or").collect()}
+    assert hits and not (hits & set(range(32, 64)))
+    top = rd.search("keta gera the", k=10).collect()
+    assert top and all(r["doc_id"] not in range(32, 64) for r in top)
+    # now kill everything
+    apply_deletes(spark, str(tmp_path / "i"), list(range(0, 128)))
+    rd2 = IndexReader(spark, str(tmp_path / "i"))
+    assert rd2.N == 0
+    assert rd2.search("the keta", k=10).collect() == []
+    assert rd2.match_docs("the", "or").collect() == []
+    assert rd2.phrase_docs("ba ke").collect() == []
