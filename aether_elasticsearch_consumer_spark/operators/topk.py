@@ -832,6 +832,69 @@ class IndexReader:
 
         return self._eval_qs(parse_query_string(q))
 
+    def query_string_search(self, q: str, k: int = 10) -> DataFrame:
+        """SCORED query-string execution (ES query_string returns ranked
+        hits, not just a filter): docs passing the boolean filter, ranked
+        by the sum of the positive clauses' scores → (doc_id, score).
+
+        Clause scoring follows ES's defaults: term clauses score BM25
+        (OR-sum when one atom analyzes to several terms), phrase clauses
+        score match_phrase BM25, and multi-term expansions
+        (prefix/wildcard/fuzzy) contribute constant_score 1.0 per
+        matching clause (ES's constant_score rewrite). must_not clauses
+        filter but never score. Every component pre-rounds to 9 dp and
+        the sum re-rounds, so a SQL oracle reproduces the ranking
+        bit-for-bit."""
+        from ..functions import querystring as qs
+
+        node = qs.parse_query_string(q)
+        filt = self._eval_qs(node)
+        if filt is None:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+
+        leaves: list = []
+
+        def walk(n) -> None:
+            if isinstance(n, qs.Bool):
+                for m in n.must:
+                    walk(m)
+                for s in n.should:
+                    walk(s)
+                # must_not: filter-only, never scored
+            else:
+                leaves.append(n)
+
+        walk(node)
+        parts: list[DataFrame] = []
+        for leaf in leaves:
+            if isinstance(leaf, qs.Term):
+                terms = tokenize_py(leaf.text, self.profile)
+                if terms:
+                    parts.append(self.score_matches(" ".join(terms)))
+            elif isinstance(leaf, qs.Phrase):
+                terms = tokenize_py(leaf.text, self.profile)
+                if len(terms) == 1:
+                    parts.append(self.score_matches(terms[0]))
+                elif terms:
+                    parts.append(self.phrase_scores(" ".join(terms)))
+            else:
+                docs = self._eval_qs(leaf)
+                if docs is not None:
+                    parts.append(
+                        docs.select("doc_id", F.lit(1.0).alias("score"))
+                    )
+        if not parts:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        from functools import reduce
+
+        allparts = reduce(DataFrame.unionByName, parts)
+        scored = (
+            allparts.groupBy("doc_id")
+            .agg(F.round(F.sum("score"), 9).alias("score"))
+            .join(filt, "doc_id", "left_semi")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _empty_ids(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], T.StructType([T.StructField("doc_id", T.LongType(), False)])

@@ -2230,3 +2230,151 @@ def fulltext_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("position").cast("long").alias("position"), "token")
         .orderBy("position")
     )
+
+
+@register(
+    "fulltext_sort_by_field",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+    ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+    """,
+)
+def fulltext_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``sort`` by a doc field instead of _score: match set from the
+    pruned posting read, sort keys from the table semi-joined to the hits
+    — orderBy(field).limit(k) is Spark's TakeOrdered (per-partition
+    bounded top-k + driver merge), never a full sort."""
+    rd = _reader_for(spark, sf_dir)
+    hits = rd.match_docs("window", "and")
+    return (
+        _docs(spark, sf_dir)
+        .join(hits, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "fulltext_significant_text",
+    f"""
+    WITH hits AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      WHERE len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+    ),
+    fg AS (
+      SELECT term, count(*)::BIGINT AS fg FROM (
+        SELECT doc_id, unnest(list_distinct(toks)) AS term FROM hits
+      ) GROUP BY term
+    ),
+    bg AS (
+      SELECT term, count(*)::BIGINT AS bg FROM (
+        SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM hits)::DOUBLE AS nfg,
+             (SELECT count(*) FROM documents)::DOUBLE AS nbg
+    )
+    SELECT f.term AS term, f.fg AS fg, b.bg AS bg,
+           round(((f.fg / tot.nfg) - (b.bg / tot.nbg))
+                 * ((f.fg / tot.nfg) / (b.bg / tot.nbg)), 9) AS score
+    FROM fg f JOIN bg b ON f.term = b.term, tot
+    WHERE f.term != 'window'
+    ORDER BY score DESC, term ASC LIMIT 5
+    """,
+)
+def fulltext_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_text``: terms over-represented in a query's HITS
+    relative to the corpus (JLH, like significant_terms but over analyzed
+    text). fg counts explode only the hit docs' distinct tokens (semi-join
+    first); bg docs-containing-term counts come straight from the
+    term_stats sidecar — the corpus is never re-tokenized at query time.
+    The query term itself is excluded (it is trivially significant)."""
+    rd = _reader_for(spark, sf_dir)
+    hits = rd.match_docs("window", "and")
+    hit_docs = _docs(spark, sf_dir).join(hits, "doc_id", "left_semi")
+    fg = (
+        hit_docs.select(
+            F.explode(F.array_distinct(tokenize_col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("fg"))
+        .where(F.col("term") != "window")
+    )
+    bg = rd._term_stats.select("term", F.col("df").alias("bg"))
+    # hit count folds in as a broadcast scalar (same no-global-window /
+    # no-extra-action shape as significant_terms_agg)
+    tot = hits.agg(F.count("*").cast("double").alias("_nfg"))
+    nbg = float(rd.N)
+    fg_rate = F.col("fg") / F.col("_nfg")
+    bg_rate = F.col("bg") / F.lit(nbg)
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("term", "fg", "bg", F.round(jlh, 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(5)
+    )
+
+
+@register(
+    "fulltext_query_string_scored",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, doc_len, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, doc_len, unnest(toks) AS term FROM lens
+      ) WHERE term = 'spark' GROUP BY doc_id, doc_len
+    ),
+    dft AS (SELECT count(*)::BIGINT AS df FROM tf),
+    tscore AS (
+      SELECT tf.doc_id,
+             round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+      FROM tf, dft, stats
+    ),
+    pf AS (
+      SELECT doc_id, doc_len,
+             len(list_filter(range(1, len(toks)),
+                 i -> toks[i] = 'table' AND toks[i+1] = 'hash'))::BIGINT AS pf
+      FROM lens
+    ),
+    phstats AS (SELECT count(*)::BIGINT AS pdf FROM pf WHERE pf > 0),
+    ph AS (
+      SELECT p.doc_id,
+             round({bm25_duckdb_sql('p.pf', 'phstats.pdf', 'p.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+      FROM pf p, phstats, stats WHERE p.pf > 0
+    ),
+    wild AS (
+      SELECT doc_id, 1.0 AS s FROM lens
+      WHERE len(list_filter(toks, t -> t LIKE 'wind%')) > 0
+    ),
+    summed AS (
+      SELECT doc_id, round(sum(s), 9) AS score
+      FROM (SELECT * FROM tscore UNION ALL SELECT * FROM ph
+            UNION ALL SELECT * FROM wild)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id AS doc_id, s.score AS score
+    FROM summed s JOIN lens l ON s.doc_id = l.doc_id
+    WHERE len(list_filter(l.toks, t -> t = 'spark')) > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_query_string_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORED saved-search replay: ``spark AND "table hash" wind*`` ranked
+    the ES way — must term filters AND scores BM25, the should phrase
+    adds match_phrase BM25 when present, the wildcard expansion adds
+    constant_score 1.0 (ES's multi-term rewrite). The oracle recomputes
+    every layer and the exact rounding ladder."""
+    from .operators.topk import IndexReader
+
+    rd = IndexReader(spark, _index_for_pos(spark, sf_dir))
+    return rd.query_string_search('spark AND "table hash" wind*', k=10)

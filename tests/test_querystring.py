@@ -204,3 +204,35 @@ def test_fuzzy_execution_matches_expansion(qs_index):
     terms = set(rd.expand_fuzzy("keta", 1))
     want = {i for i, t in docs if terms & set(t)}
     assert got == want and got
+
+
+def test_query_string_scored_matches_python(qs_index):
+    """Scored execution: must/should term clauses each contribute their
+    9-dp-rounded BM25, sums re-round, filter = boolean semantics — the
+    exact ladder replicated in python over the oracle index."""
+    from collections import defaultdict
+
+    from aether_elasticsearch_consumer_spark.oracle.engine import (
+        build_oracle_index,
+        score_query,
+    )
+
+    rd, docs = qs_index
+    # the fixture stores tokenized docs; rebuild texts for the oracle
+    oracle = build_oracle_index([(i, " ".join(t)) for i, t in docs])
+    total = defaultdict(float)
+    for term in ["the", "keta", "rata"]:
+        for d, s in score_query(oracle, term, k=10**9):
+            total[d] += s  # score_query already rounds each part to 9 dp
+    filt = {
+        i for i, t in docs if "the" in t and "keta" in t
+    }
+    want = sorted(
+        ((d, round(s, 9)) for d, s in total.items() if d in filt),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in rd.query_string_search("the AND keta rata", k=10).collect()
+    ]
+    assert got == want and got
