@@ -2378,3 +2378,85 @@ def fulltext_query_string_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rd = IndexReader(spark, _index_for_pos(spark, sf_dir))
     return rd.query_string_search('spark AND "table hash" wind*', k=10)
+
+
+@register(
+    "fulltext_explain_doc",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('join', 'spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens)
+    SELECT tf.term AS term,
+           round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS contribution
+    FROM tf, dft, stats WHERE tf.term = dft.term AND tf.doc_id = 42
+    ORDER BY term
+    """,
+)
+def fulltext_explain_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 contributions doc 42 receives
+    for the flagship query — each term's single-term score restricted to
+    the doc, off the same pruned posting reads as search (so the stored
+    tf/df/doclen are what's value-checked, not a re-derivation)."""
+    rd = _reader_for(spark, sf_dir)
+    parts = [
+        rd.score_matches(t)
+        .where(F.col("doc_id") == 42)
+        .select(F.lit(t).alias("term"), F.col("score").alias("contribution"))
+        for t in sorted(_Q1.split())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("term")
+
+
+@register(
+    "similarity_lsh_recall",
+    f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+    ),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    ),
+    approx AS (
+      SELECT vec_id FROM ({_lsh_oracle_sql()})
+    )
+    SELECT round((SELECT count(*) FROM exact
+                  WHERE vec_id IN (SELECT vec_id FROM approx))::DOUBLE
+                 / 10.0, 4) AS recall_at_10
+    """,
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation honesty metric: recall@10 of the persisted LSH index
+    vs exact brute-force cosine, as a one-row value the driver hashes —
+    the approximation quality is a PINNED, reproducible number, not a
+    claim. Both sides of the ratio replay deterministically (seeded
+    planes, bounded prefix probe)."""
+    from .plans.ann_index import LshAnnIndex
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    idx = LshAnnIndex(spark, _lsh_index_for(spark, sf_dir))
+    approx = idx.query(qv, k=10, max_hamming=6, max_prefix_hamming=2).select(
+        "vec_id"
+    )
+    hit = exact.join(approx, "vec_id", "left_semi")
+    return hit.agg(
+        F.round(F.count("*").cast("double") / 10.0, 4).alias("recall_at_10")
+    )

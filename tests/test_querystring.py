@@ -236,3 +236,27 @@ def test_query_string_scored_matches_python(qs_index):
         for r in rd.query_string_search("the AND keta rata", k=10).collect()
     ]
     assert got == want and got
+
+
+def test_parser_is_total():
+    """Fuzz: the parser either returns an AST or raises ValueError — never
+    any other exception (parsers attract IndexError/RecursionError on
+    adversarial input)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet='ab ()"+-*?~:ANDORT\\^/[]{}',
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def fuzz(q):
+        try:
+            parse_query_string(q)
+        except ValueError:
+            pass
+
+    fuzz()
