@@ -654,6 +654,10 @@ class IndexReader:
         conj = mode == "and"
 
         def collect_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            # AND: a segment missing any query term can't satisfy the
+            # conjunction — check BEFORE decoding the terms it does have
+            if conj and pdf["term"].nunique() < n_terms:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
             per_term: list[np.ndarray] = []
             for _, grp in pdf.groupby("term", sort=True):
                 blocks = [

@@ -60,6 +60,7 @@ def stream_index(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    upsert: bool = False,
     **builder_kwargs,
 ):
     """Continuous INDEXING: the stream's micro-batches become delta
@@ -73,6 +74,14 @@ def stream_index(
     repoint the ``live`` symlink. Readers opening the index between
     batches always see a complete committed index.
 
+    ``upsert=True`` is the reference's ACTUAL consumer semantics
+    (artifacts.py:513-550: create → update → ignore-conflict, keyed by
+    doc id/url): a batch re-delivering an already-indexed url TOMBSTONES
+    the stale version before the merged index goes live, so queries only
+    ever see the latest version of each url. Append-only mode
+    (``upsert=False``, the default) skips the url lookup — right for
+    immutable streams where the check is a wasted join.
+
     Returns the streaming query; the current index path is
     ``{live_index_dir}`` (a symlink under the hood).
     """
@@ -81,12 +90,24 @@ def stream_index(
 
     from ..plans.index_build import IndexBuilder
     from ..plans.segments import merge_indexes, next_doc_id_offset
+    from ..plans.tombstones import upsert_index
 
     live = Path(live_index_dir)
     work = Path(work_dir)
     work.mkdir(parents=True, exist_ok=True)
 
     def handle_batch(batch_df, batch_id: int):
+        if upsert:
+            if batch_df.isEmpty():
+                return
+            # upsert_index carries its own crash-replay guard (the batch
+            # dir already backing the live symlink) and checkpoint-resumes
+            # its delta build/merge/tombstone stages
+            upsert_index(
+                spark, str(live), str(work), batch_df, f"b{batch_id}",
+                **builder_kwargs,
+            )
+            return
         delta = work / f"batch_{batch_id}"
         merged = work / f"merged_{batch_id}"
         # crash-replay guard: a crash BETWEEN the live-symlink repoint and

@@ -289,3 +289,67 @@ def test_stream_index_replay_after_crash_is_noop(spark, tmp_path):
     assert after == before
     assert IndexReader(spark, str(live)).N == 160
     full.unpersist()
+
+
+def test_stream_index_upsert_mode(spark, tmp_path):
+    """upsert=True — the reference's ACTUAL consumer semantics: wave 2
+    re-delivers 3 urls with new text; after the stream drains, queries
+    see only the latest version of each url and BM25 equals a
+    latest-version-corpus oracle."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.oracle.engine import (
+        build_oracle_index,
+        score_query,
+    )
+    from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
+        stream_index,
+    )
+    from pyspark.sql import functions as F
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    full = webtext_df(spark, 120, partitions=2).select("url", "text", "lang")
+    full.coalesce(1).write.parquet(str(incoming / "w1"))
+    schema = spark.read.parquet(str(incoming / "w1")).schema
+    live = tmp_path / "live"
+
+    def run():
+        stream_index(
+            spark, str(incoming / "*"), schema, str(live),
+            str(tmp_path / "wk"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, upsert=True,
+            docs_per_segment=64, term_buckets=4,
+        )
+
+    run()
+    assert IndexReader(spark, str(live)).N == 120
+    (
+        full.orderBy("url").limit(3)
+        .select(
+            "url",
+            F.concat(F.lit("freshly replaced text for "), "url").alias("text"),
+            "lang",
+        )
+        .coalesce(1).write.parquet(str(incoming / "w2"))
+    )
+    run()
+    rd = IndexReader(spark, str(live))
+    assert rd.N == 120  # 3 tombstoned + 3 new
+    docs = spark.read.parquet(str(live) + "/docs/data").select(
+        "doc_id", "url", "text"
+    ).collect()
+    latest = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        latest[r["url"]] = (r["doc_id"], r["text"])  # higher id = newer
+    live_docs = list(latest.values())
+    assert len(live_docs) == 120
+    oracle = build_oracle_index(live_docs)
+    for q in ["freshly replaced", "keta gera", "the"]:
+        got = [(r["doc_id"], r["score"]) for r in rd.search(q, k=10).collect()]
+        assert got == score_query(oracle, q, k=10), q
+    hits = {r["doc_id"] for r in rd.match_docs("freshly", "and").collect()}
+    assert len(hits) == 3
+    # replay with the same checkpoint: no-op
+    run()
+    assert IndexReader(spark, str(live)).N == 120
