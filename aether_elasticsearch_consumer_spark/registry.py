@@ -1286,8 +1286,11 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same oracle)."""
     from .operators.topk import IndexReader
 
-    idx = _index_for_pos(spark, sf_dir)
-    return IndexReader(spark, idx).phrase_docs("table hash").orderBy("doc_id")
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .phrase_docs("table hash")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1438,8 +1441,7 @@ def fulltext_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences at shared token boundaries)."""
     from .operators.topk import IndexReader
 
-    idx = _index_for_pos(spark, sf_dir)
-    return IndexReader(spark, idx).search_phrase("table hash", k=10)
+    return _reader_pos_for(spark, sf_dir).search_phrase("table hash", k=10)
 
 
 @register(
@@ -1467,8 +1469,7 @@ def fulltext_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching and token-level highlighting)."""
     from .operators.topk import IndexReader
 
-    idx = _index_for_pos(spark, sf_dir)
-    out = IndexReader(spark, idx).term_positions("window")
+    out = _reader_pos_for(spark, sf_dir).term_positions("window")
     # canonical comma-join: the driver's value hash needn't support
     # list-typed cells, and the check is just as strict
     return out.select(
@@ -1621,6 +1622,20 @@ def _index_for_pos(spark: SparkSession, sf_dir: str) -> str:
 
 
 _READERS: dict[tuple[str, str], object] = {}
+_READERS_POS: dict[tuple[str, str], object] = {}
+
+
+def _reader_pos_for(spark: SparkSession, sf_dir: str):
+    """Positional-index twin of :func:`_reader_for` — the phrase /
+    highlight / query-string / rescore entries share one reader so the
+    stats collect and postings file listing happen once per session, not
+    once per registry call."""
+    from .operators.topk import IndexReader
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _READERS_POS:
+        _READERS_POS[key] = IndexReader(spark, _index_for_pos(spark, sf_dir))
+    return _READERS_POS[key]
 
 
 def _reader_for(spark: SparkSession, sf_dir: str):
@@ -1809,9 +1824,8 @@ def fulltext_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     IndexReader.query_string_docs)."""
     from .operators.topk import IndexReader
 
-    idx = _index_for_pos(spark, sf_dir)
     return (
-        IndexReader(spark, idx)
+        _reader_pos_for(spark, sf_dir)
         .query_string_docs('"table hash" AND wind* -join')
         .orderBy("doc_id")
     )
@@ -1842,9 +1856,8 @@ def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned posting read, the window slice from pure Catalyst."""
     from .operators.topk import IndexReader
 
-    idx = _index_for_pos(spark, sf_dir)
     return (
-        IndexReader(spark, idx).highlight("window", window=5).orderBy("doc_id")
+        _reader_pos_for(spark, sf_dir).highlight("window", window=5).orderBy("doc_id")
     )
 
 
@@ -2151,7 +2164,7 @@ def fulltext_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order."""
     from .operators.topk import IndexReader
 
-    rd = IndexReader(spark, _index_for_pos(spark, sf_dir))
+    rd = _reader_pos_for(spark, sf_dir)
     return rd.rescore_phrase(
         "table hash", "table hash", window=50, k=10,
         query_weight=1.0, rescore_weight=2.0,
@@ -2376,7 +2389,7 @@ def fulltext_query_string_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     every layer and the exact rounding ladder."""
     from .operators.topk import IndexReader
 
-    rd = IndexReader(spark, _index_for_pos(spark, sf_dir))
+    rd = _reader_pos_for(spark, sf_dir)
     return rd.query_string_search('spark AND "table hash" wind*', k=10)
 
 
