@@ -415,9 +415,13 @@ def simhash_neardup_pairs(
             )
         ).alias("cv"),
     ).select("id", "sim", "cv.chunk", "cv.val")
+    # cache across the self-join: each side would otherwise re-run the
+    # simhash UDF (same lineage-dedup fix as minhash_lsh_pairs — lazy
+    # persist, no extra barrier; released once the pair set materializes)
+    banded = banded.persist()
     l, r = banded.alias("l"), banded.alias("r")
     ham = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
-    return (
+    result = (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
@@ -433,6 +437,9 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+    out = result.localCheckpoint(eager=True)
+    banded.unpersist()
+    return out
 
 
 # -- embedding near-dup ------------------------------------------------------
@@ -553,7 +560,10 @@ def embedding_neardup_lsh(
             )
         ).alias("bb"),
     ).select("id", "v", "bb.band", "bb.bucket")
-    ids_only = banded.select("id", "band", "bucket")
+    # cache across the self-join: the per-plane dot-product HOFs would
+    # otherwise evaluate once per join side (same lineage-dedup fix as
+    # minhash_lsh_pairs)
+    ids_only = banded.select("id", "band", "bucket").persist()
     l, r_ = ids_only.alias("l"), ids_only.alias("r")
     cand = (
         l.join(
@@ -569,13 +579,16 @@ def embedding_neardup_lsh(
         base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     cos = _cosine_pair_cols(F.col("v_a"), F.col("v_b"))
-    return (
+    result = (
         pairs.select(
             "id_a", "id_b", F.round(cos, 6).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    out = result.localCheckpoint(eager=True)
+    ids_only.unpersist()
+    return out
 
 
 def connected_components(
