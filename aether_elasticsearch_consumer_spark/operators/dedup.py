@@ -287,14 +287,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         shingle_hashes(F.col(text_col), n, profile, hashed).alias("sh"),
-    )
+    ).persist()  # tokenize+shingle once, not once per self-join side
     left, right = base.alias("l"), base.alias("r")
     on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     on.append(F.col("l.id") < F.col("r.id"))
     jac = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))) / F.size(
         F.array_union(F.col("l.sh"), F.col("r.sh"))
     )
-    return (
+    result = (
         left.join(right, on)
         .select(
             F.col("l.id").alias("id_a"),
@@ -304,6 +304,9 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+    out = result.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 # -- SimHash ----------------------------------------------------------------
