@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .functions.bm25 import bm25_duckdb_sql
 from .functions.tokenizer import tokenize_col, tokenize_duckdb_sql
-from .operators.topk import naive_bm25_topk
+from .operators.topk import IndexReader, naive_bm25_topk
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
@@ -1284,8 +1284,6 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     read + vectorized (doc<<POS_BITS|pos) key intersection per segment —
     the at-scale phrase path (the scan path is fulltext_phrase_match,
     same oracle)."""
-    from .operators.topk import IndexReader
-
     return (
         _reader_pos_for(spark, sf_dir)
         .phrase_docs("table hash")
@@ -1439,8 +1437,6 @@ def fulltext_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst on the match set. The oracle counts phrase starts positionally
     over the token list (a substring replace-count would miss overlapping
     occurrences at shared token boundaries)."""
-    from .operators.topk import IndexReader
-
     return _reader_pos_for(spark, sf_dir).search_phrase("table hash", k=10)
 
 
@@ -1467,8 +1463,6 @@ def fulltext_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored token offsets for 'window', value-checked against offsets
     recomputed from the raw text in SQL (the primitive behind phrase
     matching and token-level highlighting)."""
-    from .operators.topk import IndexReader
-
     out = _reader_pos_for(spark, sf_dir).term_positions("window")
     # canonical comma-join: the driver's value hash needn't support
     # list-typed cells, and the check is just as strict
@@ -1630,8 +1624,6 @@ def _reader_pos_for(spark: SparkSession, sf_dir: str):
     highlight / query-string / rescore entries share one reader so the
     stats collect and postings file listing happen once per session, not
     once per registry call."""
-    from .operators.topk import IndexReader
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _READERS_POS:
         _READERS_POS[key] = IndexReader(spark, _index_for_pos(spark, sf_dir))
@@ -1644,8 +1636,6 @@ def _reader_for(spark: SparkSession, sf_dir: str):
     build() no-op aren't repeated per registry call. Keyed by
     applicationId (NOT id(spark): a recycled object id could hand a new
     session a dead session's DataFrames)."""
-    from .operators.topk import IndexReader
-
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _READERS:
         _READERS[key] = IndexReader(spark, _index_for(spark, sf_dir))
@@ -1795,8 +1785,6 @@ def fulltext_upsert_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-update corpus — a check Lucene's stale-until-merge stats could
     not pass). Keyed by url because the replacement versions carry new
     internal doc ids."""
-    from .operators.topk import IndexReader
-
     p = _upsert_index_for(spark, sf_dir)
     rd = IndexReader(spark, p)
     hits = rd.search("zephyr reindex window", k=10)
@@ -1822,8 +1810,6 @@ def fulltext_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary expansion + must_not anti-join, all as pruned posting
     reads composed in Catalyst (functions/querystring.py,
     IndexReader.query_string_docs)."""
-    from .operators.topk import IndexReader
-
     return (
         _reader_pos_for(spark, sf_dir)
         .query_string_docs('"table hash" AND wind* -join')
@@ -1854,8 +1840,6 @@ def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset comes from the POSITIONAL index (value-checking the stored
     positions end-to-end against DuckDB's list_position), the doc set from
     the pruned posting read, the window slice from pure Catalyst."""
-    from .operators.topk import IndexReader
-
     return (
         _reader_pos_for(spark, sf_dir).highlight("window", window=5).orderBy("doc_id")
     )
@@ -1929,8 +1913,6 @@ def fulltext_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     every match once (exhaustive per-segment scorer), joins the collapse
     key from the docs sidecar, per-key leader via a KEY-partitioned
     window — never a global sort of the match set."""
-    from .operators.topk import IndexReader
-
     rd = _reader_for(spark, sf_dir)
     keys = spark.read.parquet(_index_for(spark, sf_dir) + "/docs/data").select(
         "doc_id", "lang"
@@ -2162,8 +2144,6 @@ def fulltext_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on phrase matches, never the whole match set. The oracle
     recomputes both layers, including the window cut, on the shared
     total order."""
-    from .operators.topk import IndexReader
-
     rd = _reader_pos_for(spark, sf_dir)
     return rd.rescore_phrase(
         "table hash", "table hash", window=50, k=10,
@@ -2387,8 +2367,6 @@ def fulltext_query_string_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds match_phrase BM25 when present, the wildcard expansion adds
     constant_score 1.0 (ES's multi-term rewrite). The oracle recomputes
     every layer and the exact rounding ladder."""
-    from .operators.topk import IndexReader
-
     rd = _reader_pos_for(spark, sf_dir)
     return rd.query_string_search('spark AND "table hash" wind*', k=10)
 
