@@ -375,7 +375,7 @@ class IndexBuilder:
                 "id_col": self.id_col,
                 "positions": self.with_positions,
                 "source": fingerprint_extra,
-                "v": 2,  # v2: stats carry build_avgdl
+                "v": 3,  # v3: docs sidecar range-sorted by doc_id
             }
         )
         manifests = {}
@@ -399,7 +399,18 @@ class IndexBuilder:
                 source, self.profile, self.id_buckets, self.doc_id_offset,
                 id_col=self.id_col,
             )
-            docs.write.mode("overwrite").parquet(tmp + "/data")
+            # range-partition + sort the sidecar by doc_id: point lookups
+            # (highlight fragments, more_like_this seed text, phrase doc
+            # lengths, term_vectors) then prune by parquet row-group
+            # min/max instead of scanning the whole corpus — the Lucene
+            # stored-fields analogue of docid-ordered segments. One range
+            # shuffle at build, dwarfed by the postings exchange.
+            (
+                docs.repartitionByRange(F.col("doc_id"))
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(tmp + "/data")
+            )
             return {}
 
         manifests["docs"] = run_stage("docs", self.dir / "docs", fp, docs_stage, force)
