@@ -138,3 +138,53 @@ def test_pause_resume_cycle(spark, tmp_path):
     m = b.build(src, fingerprint_extra="pr")
     assert job_status(d)["state"] == "complete"
     assert set(m) == {"docs", "doclens", "stats", "postings", "term_stats"}
+
+
+def test_unicode_round3_surface(spark, tmp_path):
+    """Round-3 reader ops on a unicode-profile positional index: phrase,
+    highlight, query-string, tombstones — the Arrow tokenizer path must
+    serve them identically to the python analyzer."""
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import tokenize_py
+    from aether_elasticsearch_consumer_spark.plans.tombstones import apply_deletes
+
+    src = spark.createDataFrame(
+        [(f"https://x.example/{i}", t) for i, t in UNICODE_DOCS],
+        "url string, text string",
+    )
+    d = str(tmp_path / "uidx3")
+    IndexBuilder(
+        spark, d, profile="unicode", docs_per_segment=4, term_buckets=4,
+        with_positions=True,
+    ).build(src, fingerprint_extra="unicode-r3")
+    rd = IndexReader(spark, d)
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{d}/docs/data")
+        .select("doc_id", "text").collect()
+    ]
+    toks = {i: tokenize_py(t, "unicode") for i, t in docs}
+    # phrase: pick a real bigram from doc 0
+    big = f"{toks[0][0]} {toks[0][1]}"
+    want = {
+        i for i, tt in toks.items()
+        if any(tt[j:j+2] == toks[0][:2] for j in range(len(tt) - 1))
+    }
+    got = {r["doc_id"] for r in rd.phrase_docs(big).collect()}
+    assert got == want and got
+    # highlight on a unicode term
+    term = toks[0][0]
+    frs = {r["doc_id"]: r["fragment"] for r in rd.highlight(term, window=2).collect()}
+    for i, frag in frs.items():
+        assert f"<em>{term}</em>" in frag
+    assert frs
+    # query-string with a unicode atom
+    hits = {r["doc_id"] for r in rd.query_string_docs(f'"{big}"').collect()}
+    assert hits == want
+    # tombstone a matching doc; it must vanish from all of the above
+    victim = sorted(want)[0]
+    apply_deletes(spark, d, [victim])
+    rd2 = IndexReader(spark, d)
+    assert victim not in {r["doc_id"] for r in rd2.phrase_docs(big).collect()}
+    assert victim not in {
+        r["doc_id"] for r in rd2.highlight(term, window=2).collect()
+    }
