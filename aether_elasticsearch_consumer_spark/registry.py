@@ -2451,3 +2451,41 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.agg(
         F.round(F.count("*").cast("double") / 10.0, 4).alias("recall_at_10")
     )
+
+
+@register(
+    "similarity_ivf_recall",
+    f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+    ),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+               e.vec_id ASC
+      LIMIT 10
+    ),
+    approx AS (
+      SELECT vec_id FROM ({_IVF_ORACLE_SQL})
+    )
+    SELECT round((SELECT count(*) FROM exact
+                  WHERE vec_id IN (SELECT vec_id FROM approx))::DOUBLE
+                 / 10.0, 4) AS recall_at_10
+    """,
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the persisted IVF index (nprobe=4 of 16 lists) vs
+    exact brute force — the IVF twin of ``similarity_lsh_recall``: the
+    probe-budget/recall trade is a pinned number."""
+    from .operators.similarity import brute_force_topk
+    from .plans.ann_index import IvfAnnIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    exact = brute_force_topk(emb, qv, k=10).select("vec_id")
+    idx = IvfAnnIndex(spark, _ivf_index_for(spark, sf_dir))
+    approx = idx.query(qv, k=10, nprobe=4).select("vec_id")
+    hit = exact.join(approx, "vec_id", "left_semi")
+    return hit.agg(
+        F.round(F.count("*").cast("double") / 10.0, 4).alias("recall_at_10")
+    )
