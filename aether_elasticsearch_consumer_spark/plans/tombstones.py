@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 from ..functions.codec import varbyte_decode, varbyte_encode
 from ..functions.tokenizer import tokenize_col
 from .checkpoint import content_hash, run_stage
+from .index_build import DL_MASK
 
 DELETE_SEG_SCHEMA = T.StructType(
     [
@@ -181,9 +182,15 @@ def apply_deletes(
             .partitionBy("term_bucket")
             .parquet(tmp + "/term_df/data")
         )
+        # cap doc_len exactly as index_build packs it into the doclens
+        # sidecar (least(doc_len, DL_MASK)): the reader's delete-adjusted
+        # avgdl subtracts deleted_len from a total built on CAPPED lengths,
+        # so both sides of the subtraction must use the same cap
         sd = dele.agg(
             F.count("*").alias("n_deleted"),
-            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("deleted_len"),
+            F.coalesce(
+                F.sum(F.least(F.col("doc_len"), F.lit(DL_MASK))), F.lit(0)
+            ).alias("deleted_len"),
             F.coalesce(
                 F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1 << 20))), F.lit(0)
             ).alias("id_sum"),

@@ -1702,7 +1702,7 @@ def fulltext_index_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _upsert_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir per machine) the two-wave UPSERT index:
     wave 1 ingests the whole documents table under stable ``doc://`` urls;
-    wave 2 re-ingests every ``doc_id % 37 == 0`` url with replaced text.
+    wave 2 re-ingests every ``doc_id % 53 == 0`` url with replaced text.
     The live index after wave 2 carries tombstones for the stale versions
     and a merged delta with the new ones (plans/tombstones.upsert_index —
     the reference's create→update→ignore-conflict semantics,
@@ -2358,6 +2358,8 @@ def fulltext_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.doc_id AS doc_id, s.score AS score
     FROM summed s JOIN lens l ON s.doc_id = l.doc_id
     WHERE len(list_filter(l.toks, t -> t = 'spark')) > 0
+      AND len(list_filter(range(1, len(l.toks)),
+              i -> l.toks[i] = 'table' AND l.toks[i+1] = 'hash')) > 0
     ORDER BY score DESC, doc_id ASC LIMIT 10
     """,
 )
