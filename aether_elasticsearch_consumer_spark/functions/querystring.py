@@ -9,7 +9,8 @@ reference dashboard's query replays without hand-translation.
 Supported surface (the subset those saved searches use):
 
 - bare terms (analyzed; default operator OR)
-- ``"quoted phrases"``
+- ``"quoted phrases"``, with slop: ``"a b"~2`` (in-order window; see
+  ``operators.topk.IndexReader.phrase_docs`` for the exact semantics)
 - ``field:clause`` (this engine indexes ONE analyzed text field; accepted
   field names are configurable and default to ``text``/``_all``/``*`` —
   anything else raises, loudly, instead of silently matching nothing)
@@ -22,8 +23,7 @@ Supported surface (the subset those saved searches use):
 - ``\\`` escapes the next character inside a bare term
 
 Deliberately out of scope (raise ValueError): range queries, boosts
-(``^2``), phrase slop (``"a b"~3``), regex ``/…/`` — none appear in the
-reference's artifacts.
+(``^2``), regex ``/…/`` — none appear in the reference's artifacts.
 
 The AST is executed in FILTER context (doc-id sets) by
 ``operators.topk.IndexReader.query_string_docs`` — set algebra stays in
@@ -45,6 +45,7 @@ class Term:
 @dataclass(frozen=True)
 class Phrase:
     text: str
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -75,7 +76,7 @@ Node = Term | Phrase | Prefix | Wildcard | Fuzzy | Bool
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?:[^"\\]|\\.)*"          # quoted phrase
+        "(?:[^"\\]|\\.)*"(?:~\d+)? # quoted phrase, optional slop
       | \(|\)
       | &&|\|\|
       | [+\-]
@@ -228,10 +229,14 @@ class _Parser:
                 else:
                     t = rest
         if t.startswith('"'):
+            slop = 0
+            m = re.match(r'^(".*")~(\d+)$', t, re.DOTALL)
+            if m:
+                t, slop = m.group(1), int(m.group(2))
             if not (len(t) >= 2 and t.endswith('"')):
                 raise ValueError(f"unterminated phrase {t!r}")
             body = _unescape(t[1:-1])
-            return Phrase(body)
+            return Phrase(body, slop)
         for bad, what in (("^", "boost"), ("/", "regex"), ("[", "range"),
                           ("{", "range")):
             if bad in t:

@@ -880,7 +880,9 @@ class IndexReader:
                 if len(terms) == 1:
                     parts.append(self.score_matches(terms[0]))
                 elif terms:
-                    parts.append(self.phrase_scores(" ".join(terms)))
+                    parts.append(
+                        self.phrase_scores(" ".join(terms), slop=leaf.slop)
+                    )
             else:
                 docs = self._eval_qs(leaf)
                 if docs is not None:
@@ -921,7 +923,7 @@ class IndexReader:
                 return None
             if len(terms) == 1:
                 return self.match_docs(terms[0], "and")
-            return self.phrase_docs(" ".join(terms))
+            return self.phrase_docs(" ".join(terms), slop=node.slop)
         if isinstance(node, qs.Prefix):
             return self.prefix_docs(node.text.lower())
         if isinstance(node, qs.Wildcard):
@@ -955,10 +957,10 @@ class IndexReader:
             return base
         raise TypeError(f"unknown query node {node!r}")
 
-    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
-        """SCORED phrase query (ES match_phrase): candidates come from the
-        positional verifier with their phrase frequency (number of phrase
-        start positions), then BM25 scores the phrase as if it were a
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0) -> DataFrame:
+        """SCORED phrase query (ES match_phrase, optional slop): candidates
+        come from the positional verifier with their phrase frequency
+        (number of valid start positions), then BM25 scores the phrase as if it were a
         term — tf = phrase freq, df = number of matching docs — entirely
         in Catalyst: the phrase df is a 1-row scalar count broadcast back
         onto the match set (a common phrase like "of the" can match
@@ -967,13 +969,13 @@ class IndexReader:
         scale flag), doc lengths join from the docs sidecar, constants
         (N, avgdl) ride the plan. Determinism contract as everywhere:
         float64, 9-dp round, (score desc, doc_id asc)."""
-        scored = self.phrase_scores(phrase)
+        scored = self.phrase_scores(phrase, slop=slop)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def phrase_scores(self, phrase: str) -> DataFrame:
+    def phrase_scores(self, phrase: str, slop: int = 0) -> DataFrame:
         """BM25 phrase score for EVERY phrase-matching doc (the un-cut
         form of ``search_phrase``; also the rescore-query primitive)."""
-        matches = self.phrase_docs(phrase, with_freq=True)
+        matches = self.phrase_docs(phrase, with_freq=True, slop=slop)
         docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
             "doc_id", "doc_len"
         )
@@ -1144,17 +1146,33 @@ class IndexReader:
             )
         )
 
-    def phrase_docs(self, phrase: str, with_freq: bool = False) -> DataFrame:
-        """Exact phrase query (ES match_phrase) off the POSITIONAL index:
+    def phrase_docs(
+        self, phrase: str, with_freq: bool = False, slop: int = 0
+    ) -> DataFrame:
+        """Phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at
-        consecutive positions. Requires ``with_positions=True`` at build.
+        consecutive positions — or, with ``slop`` > 0, IN ORDER within a
+        window of ``len(terms) + slop`` tokens (total gap slack
+        p_last − p_first − (m−1) ≤ slop; slop=0 is the exact phrase).
+        Requires ``with_positions=True`` at build.
+
+        Slop semantics are ES match_phrase slop restricted to IN-ORDER
+        matches: Lucene additionally lets slop ≥ 2 pay for reordering
+        (``"b a"`` matching ``a b``~2) — a documented deviation; the
+        in-order window is what the saved-search family needs and is
+        exactly reproducible by a SQL oracle (nested list_filter window).
+        ``phrase_freq`` = number of phrase start positions that begin a
+        valid match (Lucene instead accumulates 1/(1+matchLength);
+        deviation documented for the same oracle-exactness reason).
 
         Per segment (same pruned read as ``search``): each query term's
         postings+positions decode vectorized; verification packs
-        (doc_id << POS_BITS | pos) keys and intersects shifted key sets —
-        S ∩ (keys(t_i) − i) — so adjacency checks are numpy set ops, never
-        per-doc Python. Duplicate phrase terms just reuse one key set at
-        several offsets."""
+        (doc_id << POS_BITS | pos) keys. Exact matches intersect shifted
+        key sets — S ∩ (keys(t_i) − i); sloppy matches run a GREEDY
+        in-order walk (smallest next key > current per term, all starts in
+        parallel via searchsorted) — greedy minimizes the final position,
+        so it finds a valid assignment iff one exists. Both are numpy set
+        ops, never per-doc Python."""
         if not self.positions:
             raise ValueError(
                 "this index was built without positions "
@@ -1162,6 +1180,8 @@ class IndexReader:
                 "the positional sidecar; see also the scan-path "
                 "fulltext_phrase_match for index-free corpora"
             )
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         terms_seq = tokenize_py(phrase, self.profile)
         fields = [T.StructField("doc_id", T.LongType(), False)]
         if with_freq:
@@ -1243,11 +1263,32 @@ class IndexReader:
                 doc_per_tok = np.repeat(ids, tfs_)
                 m = np.isin(doc_per_tok, cand_docs, assume_unique=False)
                 keys[t] = np.sort((doc_per_tok[m] << POS_BITS) | pos[m])
-            cand = keys[seq[0]]
-            for i, t in enumerate(seq[1:], start=1):
-                if not len(cand):
-                    break
-                cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
+            starts = keys[seq[0]]
+            if slop == 0:
+                cand = starts
+                for i, t in enumerate(seq[1:], start=1):
+                    if not len(cand):
+                        break
+                    cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
+            else:
+                # greedy in-order walk, all starts at once: for each term,
+                # jump to its smallest key strictly after the current one;
+                # a start survives if every jump stays in the same doc and
+                # the final displacement fits the (m-1)+slop window
+                cur = starts
+                alive = np.ones(len(starts), dtype=bool)
+                start_doc = starts >> POS_BITS
+                for t in seq[1:]:
+                    ks = keys[t]
+                    idx = np.searchsorted(ks, cur + 1, side="left")
+                    ok = idx < len(ks)
+                    nxt = ks[np.minimum(idx, max(len(ks) - 1, 0))]
+                    alive &= ok & ((nxt >> POS_BITS) == start_doc)
+                    cur = np.where(alive, nxt, cur)
+                    if not alive.any():
+                        return empty
+                alive &= (cur - starts) <= (len(seq) - 1 + slop)
+                cand = starts[alive]
             if not len(cand):
                 return empty
             match_docs_arr, freqs = np.unique(cand >> POS_BITS, return_counts=True)

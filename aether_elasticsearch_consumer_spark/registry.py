@@ -1292,6 +1292,39 @@ def fulltext_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_phrase_slop",
+    f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(t)+1),
+               i -> t[i] = 'table'
+                    AND len(list_filter(range(i+1, least(i+3, len(t))+1),
+                            j -> t[j] = 'hash')) > 0))::BIGINT AS slop_freq
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(list_filter(range(1, len(t)+1),
+              i -> t[i] = 'table'
+                   AND len(list_filter(range(i+1, least(i+3, len(t))+1),
+                           j -> t[j] = 'hash')) > 0)) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase with slop (``"table hash"~2``) off the POSITIONAL
+    index: in-order window verification — 'hash' within 1+slop tokens
+    after 'table' — via the greedy searchsorted walk in
+    ``IndexReader.phrase_docs(slop=...)``; slop_freq = number of valid
+    start positions. The oracle replays the window with a nested
+    list_filter (j ranges over (i, i+1+slop]). Slop is the first thing an
+    ES user reaches for when an exact phrase misses (the reference's
+    saved-search family, visualization.py:46-53)."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .phrase_docs("table hash", with_freq=True, slop=2)
+        .withColumnRenamed("phrase_freq", "slop_freq")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "agg_pipeline_movavg",
     """
     WITH b AS (

@@ -29,6 +29,9 @@ from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
 GOLDENS = [
     ("keta", Term("keta")),
     ('"ba ke"', Phrase("ba ke")),
+    ('"ba ke"~2', Phrase("ba ke", 2)),
+    ('"ba ke"~0', Phrase("ba ke", 0)),
+    ('text:"ba ke"~3', Phrase("ba ke", 3)),
     ("wind*", Prefix("wind")),
     ("w?nd", Wildcard("w?nd")),
     ("ke*a", Wildcard("ke*a")),
@@ -88,7 +91,7 @@ def test_parse_goldens(q, want):
         "-keta",
         "NOT keta",
         "keta^2",
-        '"a b"~3',
+        '"a b"~',
         "[1 TO 2]",
         "unknownfield:keta",
         "(keta",
@@ -123,6 +126,26 @@ def qs_index(spark, tmp_path_factory):
     return IndexReader(spark, str(root / "idx")), docs
 
 
+def _py_slop_freq(toks: list[str], seq: list[str], slop: int) -> int:
+    """Independent in-order sloppy-phrase evaluator: a start position is a
+    match if the remaining terms appear in order with total displacement
+    p_last - p_first - (m-1) <= slop (exhaustive search per start, NOT the
+    engine's greedy walk — so the test checks greedy's optimality too)."""
+    def ok_from(p: int, rest: list[str], budget: int) -> bool:
+        if not rest:
+            return True
+        for q in range(p + 1, min(p + 1 + budget, len(toks) - len(rest)) + 1):
+            if toks[q] == rest[0] and ok_from(q, rest[1:], budget - (q - p - 1)):
+                return True
+        return False
+
+    n = 0
+    for p, t in enumerate(toks):
+        if t == seq[0] and ok_from(p, seq[1:], slop):
+            n += 1
+    return n
+
+
 def _py_eval(docs, node) -> set[int]:
     if isinstance(node, Term):
         terms = tokenize_py(node.text)
@@ -131,10 +154,8 @@ def _py_eval(docs, node) -> set[int]:
         seq = tokenize_py(node.text)
         out = set()
         for i, t in docs:
-            for j in range(len(t) - len(seq) + 1):
-                if t[j : j + len(seq)] == seq:
-                    out.add(i)
-                    break
+            if _py_slop_freq(t, seq, node.slop):
+                out.add(i)
         return out
     if isinstance(node, Prefix):
         return {i for i, t in docs if any(x.startswith(node.text) for x in t)}
@@ -169,6 +190,9 @@ QUERIES = [
     "keta gera",
     "the AND keta",
     '"{PH}"',
+    '"{PH}"~1',
+    '"{PH}"~3',
+    '"{SKIP}"~2',
     '"{PH}" AND ke* -holi',
     "(keta OR gera) AND NOT holi",
     "+keta -gera rata",
@@ -188,14 +212,67 @@ def _common_bigram(docs) -> str:
     return f"{a} {b}"
 
 
+def _common_skipgram(docs) -> str:
+    """A token pair frequent at gap 2 (slop-2 hit, usually not adjacent) —
+    makes the sloppy queries exercise genuinely non-exact matches."""
+    from collections import Counter
+
+    c = Counter()
+    for _, t in docs[:80]:
+        c.update(zip(t, t[2:]))
+    (a, b), n = c.most_common(1)[0]
+    assert n >= 3
+    return f"{a} {b}"
+
+
 @pytest.mark.parametrize("q", QUERIES, ids=QUERIES)
 def test_execution_matches_python_eval(qs_index, q):
     rd, docs = qs_index
     q = q.replace("{PH}", _common_bigram(docs))
+    q = q.replace("{SKIP}", _common_skipgram(docs))
     got = {r["doc_id"] for r in rd.query_string_docs(q).collect()}
     want = _py_eval(docs, parse_query_string(q))
     assert got == want, q
     assert want, f"degenerate test: {q} matched nothing"
+
+
+def test_phrase_slop_freq_matches_exhaustive(qs_index):
+    """phrase_docs(slop, with_freq) vs the exhaustive per-start evaluator:
+    match sets AND freqs, at several slops, for 2- and 3-term phrases —
+    the 3-term cases are where a non-optimal greedy walk would diverge
+    (greedy must find an assignment whenever the exhaustive search does)."""
+    from collections import Counter
+
+    rd, docs = qs_index
+    c2, c3 = Counter(), Counter()
+    for _, t in docs[:80]:
+        c2.update(zip(t, t[2:]))
+        c3.update(zip(t, t[1:], t[2:]))
+    (a, b), _ = c2.most_common(1)[0]
+    (x, y, z), n3 = c3.most_common(1)[0]
+    assert n3 >= 2
+    cases = [(f"{a} {b}", 1), (f"{a} {b}", 2), (f"{a} {b}", 5),
+             (f"{x} {y} {z}", 0), (f"{x} {y} {z}", 1), (f"{x} {y} {z}", 3)]
+    for phrase, slop in cases:
+        seq = phrase.split()
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in rd.phrase_docs(phrase, with_freq=True, slop=slop).collect()
+        }
+        want = {
+            i: f
+            for i, t in docs
+            if (f := _py_slop_freq(t, seq, slop)) > 0
+        }
+        assert got == want, (phrase, slop)
+        assert want, f"degenerate: {phrase}~{slop} matched nothing"
+    # slop=0 through the sloppy path must equal the exact-intersection path
+    exact = {r["doc_id"] for r in rd.phrase_docs(f"{x} {y} {z}").collect()}
+    sloppy0 = {
+        r["doc_id"]
+        for r in rd.phrase_docs(f"{x} {y} {z}", with_freq=True, slop=0).collect()
+    }
+    assert exact == sloppy0
 
 
 def test_fuzzy_execution_matches_expansion(qs_index):
