@@ -1146,6 +1146,85 @@ class IndexReader:
             )
         )
 
+    def highlight_query(self, q: str, window: int = 5) -> DataFrame:
+        """ES ``highlight`` for a whole query-string query (ES highlights
+        the full saved-search query, not one term): every doc matching the
+        query gets ONE fragment around the FIRST occurrence of any
+        positive query term, with every positive-term occurrence inside
+        the fragment wrapped in ``<em>…</em>`` → (doc_id, fragment).
+
+        Positive terms = the analyzed terms of the AST's must/should
+        leaves (phrases contribute each of their terms; prefix/wildcard/
+        fuzzy leaves contribute their dictionary expansions); must_not
+        subtrees never highlight. First-occurrence positions come from the
+        POSITIONAL INDEX (a pruned per-term read, unioned then min'd —
+        value-checks the stored offsets); the doc set is the query-string
+        filter; fragment slicing + wrapping is pure Catalyst over the
+        matched ids' sidecar rows only. Fragments live in the
+        analyzed-token domain, same as ``highlight``."""
+        from functools import reduce
+
+        from ..functions import querystring as qs
+
+        node = qs.parse_query_string(q)
+        terms: set[str] = set()
+
+        def walk(n) -> None:
+            if isinstance(n, qs.Bool):
+                for m in n.must:
+                    walk(m)
+                for s in n.should:
+                    walk(s)
+            elif isinstance(n, (qs.Term, qs.Phrase)):
+                terms.update(tokenize_py(n.text, self.profile))
+            elif isinstance(n, qs.Prefix):
+                terms.update(self.expand_prefix(n.text.lower()))
+            elif isinstance(n, qs.Wildcard):
+                terms.update(self.expand_wildcard(n.pattern.lower()))
+            elif isinstance(n, qs.Fuzzy):
+                toks = tokenize_py(n.term, self.profile)
+                if len(toks) == 1:
+                    terms.update(self.expand_fuzzy(toks[0], n.max_edits))
+            else:
+                raise TypeError(f"unknown query node {n!r}")
+
+        walk(node)
+        filt = self.query_string_docs(q)
+        if not terms:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("doc_id", T.LongType(), False),
+                        T.StructField("fragment", T.StringType(), False),
+                    ]
+                ),
+            )
+        tlist = sorted(terms)
+        pos = reduce(
+            DataFrame.unionByName, (self.term_positions(t) for t in tlist)
+        )
+        first = (
+            pos.join(filt, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg((F.min(F.array_min("positions")) + 1).alias("p"))  # 1-based
+        )
+        docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
+            "doc_id", "text"
+        )
+        toks = tokenize_col("text", self.profile)
+        start = F.greatest(F.lit(1), F.col("p") - window)
+        frag = F.slice(toks, start, F.col("p") - start + 1 + window)
+        wrapped = F.transform(
+            frag,
+            lambda x: F.when(
+                x.isin(tlist), F.concat(F.lit("<em>"), x, F.lit("</em>"))
+            ).otherwise(x),
+        )
+        return first.join(docs, "doc_id").select(
+            "doc_id", F.array_join(wrapped, " ").alias("fragment")
+        )
+
     def phrase_docs(
         self, phrase: str, with_freq: bool = False, slop: int = 0
     ) -> DataFrame:

@@ -1879,6 +1879,43 @@ def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_highlight_query",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             least(nullif(list_position({_TOKS_SQL}, 'window'), 0),
+                   nullif(list_position({_TOKS_SQL}, 'table'), 0),
+                   nullif(list_position({_TOKS_SQL}, 'hash'), 0)) AS p
+      FROM documents
+      WHERE len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+        AND contains(' ' || array_to_string({_TOKS_SQL}, ' ') || ' ',
+                     ' table hash ')
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+             toks[CASE WHEN p > 5 THEN p - 5 ELSE 1 END : p + 5],
+             x -> CASE WHEN x IN ('hash', 'table', 'window')
+                  THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment
+    FROM f ORDER BY doc_id
+    """,
+)
+def fulltext_highlight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` over a WHOLE query-string query (ES highlights the
+    full saved search, not one term): docs matching
+    ``window AND "table hash"`` each get one fragment around the first
+    occurrence of any positive query term, every positive-term occurrence
+    inside it wrapped in <em>…</em>. First-occurrence offsets come from
+    the positional index (unioned pruned per-term reads), the doc set
+    from the query-string filter, slicing+wrapping from pure Catalyst —
+    the oracle replays all three layers in the analyzed-token domain."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .highlight_query('window AND "table hash"', window=5)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "fulltext_search_after",
     f"""
     WITH lens AS (

@@ -249,6 +249,42 @@ def test_highlight_fragments_match_python(pos_index):
     assert got == want and got
 
 
+def test_highlight_query_matches_python(pos_index):
+    """Query-level highlight: the WHOLE query-string query drives both
+    the doc set (query filter) and the emphasis set (every positive leaf's
+    analyzed terms + dictionary expansions); fragment = first occurrence
+    of ANY positive term, all positive-term occurrences inside it wrapped.
+    Replayed in python over the same tokenizer output."""
+    reader, docs = pos_index
+    q, w = '"keta gera" OR rata ho*', 4
+    exp = set(reader.expand_prefix("ho"))
+    assert exp, "fixture vocabulary lost its ho* terms — pick another prefix"
+    P = {"keta", "gera", "rata"} | exp
+
+    def matches(toks):
+        phrase = any(
+            toks[i] == "keta" and toks[i + 1] == "gera"
+            for i in range(len(toks) - 1)
+        )
+        return phrase or "rata" in toks or bool(exp & set(toks))
+
+    want = {}
+    for doc_id, text in docs:
+        toks = tokenize_py(text)
+        if not matches(toks):
+            continue
+        p = min(i for i, t in enumerate(toks) if t in P)
+        frag = toks[max(0, p - w):p + 1 + w]
+        want[doc_id] = " ".join(
+            f"<em>{t}</em>" if t in P else t for t in frag
+        )
+    got = {
+        r["doc_id"]: r["fragment"]
+        for r in reader.highlight_query(q, window=w).collect()
+    }
+    assert got == want and got
+
+
 def test_highlight_edge_positions(spark, tmp_path):
     src = spark.createDataFrame(
         [
