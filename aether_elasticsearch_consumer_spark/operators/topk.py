@@ -346,8 +346,13 @@ class IndexReader:
     per reader so file listings are reused across queries."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from ..plans.live_pointer import resolve_live
+
         self.spark = spark
-        self.dir = Path(index_dir)
+        # a live-pointer file (or legacy symlink) resolves to the current
+        # committed index dir at open time — the catalog-pointer pattern,
+        # so a concurrent upsert's repoint never shifts an open reader
+        self.dir = Path(resolve_live(index_dir) or index_dir)
         st = spark.read.parquet(str(self.dir / "stats/data")).collect()[0]
         self.N = int(st["N"])
         self.avgdl = float(st["avgdl"])

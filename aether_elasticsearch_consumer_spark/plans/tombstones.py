@@ -40,7 +40,6 @@ computed on the live corpus, which Lucene itself could not pass.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np
@@ -257,39 +256,37 @@ def upsert_index(
     (artifacts.py:513-550): docs whose ``url`` already exists in the live
     index are tombstoned, the new versions build as a delta at the next
     disjoint doc-id offset, and the merged index (old + delta + union'd
-    tombstones) replaces ``live`` with one atomic symlink repoint. Readers
-    between repoints always see a complete committed index; after the
-    repoint, the stale postings are invisible to every query path and
-    BM25 stats are exact over the post-upsert corpus.
+    tombstones) replaces ``live`` with one atomic pointer commit
+    (plans/live_pointer.py — a single-object JSON repoint, the same
+    catalog-pointer primitive that works on object storage; legacy
+    symlink layouts still resolve). Readers between repoints always see a
+    complete committed index; after the repoint, the stale postings are
+    invisible to every query path and BM25 stats are exact over the
+    post-upsert corpus.
 
     Returns the resolved path of the new live index."""
     from .index_build import IndexBuilder
+    from .live_pointer import commit_live_pointer, resolve_live
     from .segments import merge_indexes, next_doc_id_offset
 
     live = Path(live_index_dir)
     work = Path(work_dir)
     work.mkdir(parents=True, exist_ok=True)
 
-    def repoint(target: Path) -> None:
-        tmp_link = work / ".live_tmp"
-        if tmp_link.is_symlink():
-            tmp_link.unlink()
-        tmp_link.symlink_to(target.resolve())
-        os.replace(tmp_link, live)
-
-    if not live.exists():
+    current = resolve_live(live)
+    if current is None:
         first = work / f"upsert_{batch_tag}"
         IndexBuilder(spark, str(first), **builder_kwargs).build(
             new_docs, fingerprint_extra={"upsert": str(batch_tag)}
         )
-        repoint(first)
+        commit_live_pointer(live, first)
         return str(first.resolve())
 
     merged = work / f"upsert_{batch_tag}"
-    if os.path.realpath(live) == str(merged.resolve()):
+    if current == str(merged.resolve()):
         return str(merged.resolve())  # replay of an already-applied batch
 
-    base = Path(os.path.realpath(live))
+    base = Path(current)
     old_ids = (
         spark.read.parquet(str(base / "docs/data"))
         .join(new_docs.select("url").distinct(), "url", "left_semi")
@@ -303,7 +300,7 @@ def upsert_index(
     ).build(new_docs, fingerprint_extra={"upsert": str(batch_tag)})
     merge_indexes(spark, str(base), str(delta), str(merged))
     apply_deletes(spark, str(merged), old_ids)
-    repoint(merged)
+    commit_live_pointer(live, merged)
     return str(merged.resolve())
 
 

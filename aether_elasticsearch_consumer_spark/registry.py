@@ -1740,6 +1740,7 @@ def _upsert_index_for(spark: SparkSession, sf_dir: str) -> str:
     and a merged delta with the new ones (plans/tombstones.upsert_index —
     the reference's create→update→ignore-conflict semantics,
     artifacts.py:513-550, carried through the inverted index)."""
+    from .plans.live_pointer import resolve_live
     from .plans.tombstones import upsert_index
 
     key = _hashlib.md5(sf_dir.encode()).hexdigest()[:10]
@@ -1771,7 +1772,9 @@ def _upsert_index_for(spark: SparkSession, sf_dir: str) -> str:
         )
         upsert_index(spark, str(live), str(d / "wk"), wave2, "w2", **kw)
         done.touch()
-    return str(live)
+    # resolve the live pointer (JSON pointer file; legacy-symlink caches
+    # from earlier rounds resolve identically) to a concrete index dir
+    return resolve_live(str(live))
 
 
 _UPSERT_CORPUS_SQL = """

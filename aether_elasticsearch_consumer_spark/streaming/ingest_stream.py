@@ -71,8 +71,9 @@ def stream_index(
     (fingerprinted on batch_id, so a replayed batch resumes its own
     checkpoints instead of double-indexing — the same idempotency the
     reference gets from doc-id upsert), merge into ``live``, and atomically
-    repoint the ``live`` symlink. Readers opening the index between
-    batches always see a complete committed index.
+    repoint the ``live`` pointer (plans/live_pointer.py — a single-object
+    JSON commit that also works on object storage). Readers opening the
+    index between batches always see a complete committed index.
 
     ``upsert=True`` is the reference's ACTUAL consumer semantics
     (artifacts.py:513-550: create → update → ignore-conflict, keyed by
@@ -83,12 +84,14 @@ def stream_index(
     immutable streams where the check is a wasted join.
 
     Returns the streaming query; the current index path is
-    ``{live_index_dir}`` (a symlink under the hood).
+    ``{live_index_dir}`` (a pointer file under the hood — ``IndexReader``
+    resolves it transparently).
     """
     import os
     from pathlib import Path
 
     from ..plans.index_build import IndexBuilder
+    from ..plans.live_pointer import commit_live_pointer, resolve_live
     from ..plans.segments import merge_indexes, next_doc_id_offset
     from ..plans.tombstones import upsert_index
 
@@ -101,7 +104,7 @@ def stream_index(
             if batch_df.isEmpty():
                 return
             # upsert_index carries its own crash-replay guard (the batch
-            # dir already backing the live symlink) and checkpoint-resumes
+            # dir already backing the live pointer) and checkpoint-resumes
             # its delta build/merge/tombstone stages
             upsert_index(
                 spark, str(live), str(work), batch_df, f"b{batch_id}",
@@ -110,29 +113,23 @@ def stream_index(
             return
         delta = work / f"batch_{batch_id}"
         merged = work / f"merged_{batch_id}"
-        # crash-replay guard: a crash BETWEEN the live-symlink repoint and
+        # crash-replay guard: a crash BETWEEN the live-pointer commit and
         # the streaming checkpoint commit replays this batch with its
         # output already live; recomputing the offset from the live index
         # would re-merge the docs under new ids. If this batch's own
-        # output dir already backs the symlink, the batch fully applied —
+        # output dir already backs the pointer, the batch fully applied —
         # nothing to do.
-        if live.is_symlink() and os.path.realpath(live) in (
-            str(delta.resolve()),
-            str(merged.resolve()),
-        ):
+        current = resolve_live(live)
+        if current in (str(delta.resolve()), str(merged.resolve())):
             return
         if batch_df.isEmpty():
             return
-        if not live.exists():
+        if current is None:
             # first batch bootstraps the index
             IndexBuilder(spark, str(delta), **builder_kwargs).build(
                 batch_df, fingerprint_extra={"batch": batch_id}
             )
-            tmp_link = work / ".live_tmp"
-            if tmp_link.is_symlink():
-                tmp_link.unlink()
-            tmp_link.symlink_to(delta.resolve())
-            os.replace(tmp_link, live)
+            commit_live_pointer(live, delta)
             return
         # the delta offset is a PER-BATCH durable record, never recomputed
         # from the live index (which may already contain a crashed merge of
@@ -142,19 +139,15 @@ def stream_index(
         if off_file.exists():
             off = int(off_file.read_text())
         else:
-            off = next_doc_id_offset(spark, str(live))
+            off = next_doc_id_offset(spark, current)
             tmpf = work / f".batch_{batch_id}.offset.tmp"
             tmpf.write_text(str(off))
             os.replace(tmpf, off_file)
         IndexBuilder(
             spark, str(delta), doc_id_offset=off, **builder_kwargs
         ).build(batch_df, fingerprint_extra={"batch": batch_id})
-        merge_indexes(spark, str(os.path.realpath(live)), str(delta), str(merged))
-        tmp_link = work / ".live_tmp"
-        if tmp_link.is_symlink():
-            tmp_link.unlink()
-        tmp_link.symlink_to(merged.resolve())
-        os.replace(tmp_link, live)  # atomic repoint
+        merge_indexes(spark, current, str(delta), str(merged))
+        commit_live_pointer(live, merged)  # atomic repoint
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

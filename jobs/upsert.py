@@ -17,7 +17,7 @@ inverted index via tombstones (plans/tombstones.py).
 
 Prints one JSON line: docs in/out, live N, tombstone count, elapsed.
 Re-running a crashed invocation with the same --batch-tag is a no-op
-(the batch's output already backs the live symlink) or a checkpoint
+(the batch's output already backs the live pointer) or a checkpoint
 resume — the same idempotency contract as the streaming path.
 """
 
@@ -25,13 +25,15 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+    resolve_live,
+)
 from aether_elasticsearch_consumer_spark.plans.tombstones import (
     apply_deletes,
     compact_index,
@@ -44,7 +46,7 @@ from aether_elasticsearch_consumer_spark.session import get_spark
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--live", required=True, help="live index dir (symlink)")
+    ap.add_argument("--live", required=True, help="live index pointer (JSON pointer file; legacy symlink also resolves)")
     ap.add_argument("--docs", help="parquet of docs to upsert (url, text, …)")
     ap.add_argument("--delete-urls", help="parquet with a url column to tombstone")
     ap.add_argument("--compact", help="write a compacted (purged) index here")
@@ -71,7 +73,7 @@ def main(argv=None):
         out["index"] = p
     elif args.delete_urls:
         urls = spark.read.parquet(args.delete_urls).select("url").distinct()
-        base = os.path.realpath(args.live)
+        base = resolve_live(args.live)
         ids = (
             spark.read.parquet(f"{base}/docs/data")
             .join(urls, "url", "left_semi")
@@ -80,7 +82,7 @@ def main(argv=None):
         apply_deletes(spark, base, ids)
         out["index"] = base
     else:
-        compact_index(spark, os.path.realpath(args.live), args.compact)
+        compact_index(spark, resolve_live(args.live), args.compact)
         out["index"] = args.compact
 
     idx = out["index"]

@@ -191,6 +191,9 @@ def test_stream_index_continuous(spark, tmp_path):
         build_oracle_index,
         score_query,
     )
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        resolve_live,
+    )
     from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
         stream_index,
     )
@@ -224,7 +227,7 @@ def test_stream_index_continuous(spark, tmp_path):
     assert r2.N == 200
     docs = [
         (r["doc_id"], r["text"])
-        for r in spark.read.parquet(str(live) + "/docs/data")
+        for r in spark.read.parquet(resolve_live(live) + "/docs/data")
         .select("doc_id", "text").collect()
     ]
     oracle = build_oracle_index(docs)
@@ -245,6 +248,9 @@ def test_stream_index_replay_after_crash_is_noop(spark, tmp_path):
     that replay a no-op — not a double-ingest under fresh doc ids."""
     from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
     from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        resolve_live,
+    )
     from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
         stream_index,
     )
@@ -270,7 +276,7 @@ def test_stream_index_replay_after_crash_is_noop(spark, tmp_path):
     assert IndexReader(spark, str(live)).N == 160
     before = {
         (r["doc_id"], r["url"])
-        for r in spark.read.parquet(str(live) + "/docs/data")
+        for r in spark.read.parquet(resolve_live(live) + "/docs/data")
         .select("doc_id", "url").collect()
     }
     # simulate the crash window: drop the LAST batch's commit marker so
@@ -283,7 +289,7 @@ def test_stream_index_replay_after_crash_is_noop(spark, tmp_path):
     run()
     after = {
         (r["doc_id"], r["url"])
-        for r in spark.read.parquet(str(live) + "/docs/data")
+        for r in spark.read.parquet(resolve_live(live) + "/docs/data")
         .select("doc_id", "url").collect()
     }
     assert after == before
@@ -301,6 +307,9 @@ def test_stream_index_upsert_mode(spark, tmp_path):
     from aether_elasticsearch_consumer_spark.oracle.engine import (
         build_oracle_index,
         score_query,
+    )
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        resolve_live,
     )
     from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
         stream_index,
@@ -336,7 +345,7 @@ def test_stream_index_upsert_mode(spark, tmp_path):
     run()
     rd = IndexReader(spark, str(live))
     assert rd.N == 120  # 3 tombstoned + 3 new
-    docs = spark.read.parquet(str(live) + "/docs/data").select(
+    docs = spark.read.parquet(resolve_live(live) + "/docs/data").select(
         "doc_id", "url", "text"
     ).collect()
     latest = {}

@@ -233,3 +233,84 @@ def test_delete_everything_and_whole_segments(spark, tmp_path):
     assert rd2.search("the keta", k=10).collect() == []
     assert rd2.match_docs("the", "or").collect() == []
     assert rd2.phrase_docs("ba ke").collect() == []
+
+
+def test_live_pointer_commit_resolve_and_legacy(spark, tmp_path):
+    """The live pointer is a single-object JSON commit (cluster-portable:
+    no symlinks on object storage): commit → resolve round-trips, rebind
+    is one atomic replace, legacy symlink layouts still resolve, and
+    IndexReader opens an index through either pointer form."""
+    import json
+    import os
+
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        commit_live_pointer,
+        resolve_live,
+    )
+
+    a, b = tmp_path / "idx_a", tmp_path / "idx_b"
+    src = webtext_df(spark, 64, partitions=2)
+    IndexBuilder(spark, str(a), docs_per_segment=32, term_buckets=4).build(
+        src, fingerprint_extra="ptr-a"
+    )
+    IndexBuilder(spark, str(b), docs_per_segment=32, term_buckets=4).build(
+        src.limit(40), fingerprint_extra="ptr-b"
+    )
+    live = tmp_path / "live"
+    assert resolve_live(live) is None
+    commit_live_pointer(live, a)
+    assert resolve_live(live) == str(a.resolve())
+    assert json.loads(live.read_text())["index_dir"] == str(a.resolve())
+    assert IndexReader(spark, str(live)).N == 64  # reader resolves pointer
+    # atomic rebind
+    commit_live_pointer(live, b)
+    assert resolve_live(live) == str(b.resolve())
+    assert IndexReader(spark, str(live)).N == 40
+    # legacy symlink layout resolves identically (and a commit over it
+    # migrates the link to a pointer file in one atomic rename)
+    legacy = tmp_path / "legacy_live"
+    legacy.symlink_to(a.resolve())
+    assert resolve_live(legacy) == str(a.resolve())
+    assert IndexReader(spark, str(legacy)).N == 64
+    commit_live_pointer(legacy, b)
+    assert not os.path.islink(legacy)
+    assert resolve_live(legacy) == str(b.resolve())
+
+
+def test_upsert_crash_window_replay_through_pointer(spark, tmp_path):
+    """Crash-replay contract through the pointer commit: if the process
+    dies AFTER the merged index is committed to the pointer but before
+    the caller records success, re-running the same batch is a no-op
+    (pointer already names the batch's output), and a crash BEFORE the
+    pointer commit leaves the old index live until the re-run completes."""
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        resolve_live,
+    )
+
+    src = webtext_df(spark, 80, partitions=2).select("url", "text", "lang")
+    live = tmp_path / "live"
+    kw = dict(docs_per_segment=32, term_buckets=4)
+    p1 = upsert_index(spark, str(live), str(tmp_path / "wk"), src, "w1", **kw)
+    wave2 = src.orderBy("url").limit(4).select(
+        "url", F.concat(F.lit("replacement body "), "url").alias("text"), "lang"
+    )
+    p2 = upsert_index(spark, str(live), str(tmp_path / "wk"), wave2, "w2", **kw)
+    assert resolve_live(live) == p2 != p1
+    # crash AFTER pointer commit: replay short-circuits on the pointer
+    p2b = upsert_index(spark, str(live), str(tmp_path / "wk"), wave2, "w2", **kw)
+    assert p2b == p2 and resolve_live(live) == p2
+    # crash BEFORE pointer commit of a THIRD batch: simulate by rolling
+    # the pointer back to p1's output (the merged dir for w3 exists but
+    # was never committed) — re-running w3 must rebuild/commit it
+    wave3 = src.orderBy("url").limit(2).select(
+        "url", F.concat(F.lit("third body "), "url").alias("text"), "lang"
+    )
+    p3 = upsert_index(spark, str(live), str(tmp_path / "wk"), wave3, "w3", **kw)
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        commit_live_pointer,
+    )
+
+    commit_live_pointer(live, p2)  # pretend w3's commit never landed
+    p3b = upsert_index(spark, str(live), str(tmp_path / "wk"), wave3, "w3", **kw)
+    assert p3b == p3 and resolve_live(live) == p3
+    assert IndexReader(spark, str(live)).N == 80
