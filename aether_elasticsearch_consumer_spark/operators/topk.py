@@ -749,13 +749,96 @@ class IndexReader:
             base = base.join(n_docs, "doc_id", "left_anti")
         return base
 
+    def ensure_fuzzy_sidecar(self, max_edits: int = 2) -> dict:
+        """Build (idempotently) the deletion-neighborhood sidecar so
+        fuzzy/suggest expansion reads a pruned dictionary subset instead
+        of Levenshtein-scanning the whole vocabulary — see
+        plans/fuzzy_index.py for the construction and guarantee."""
+        from ..plans.fuzzy_index import build_fuzzy_sidecar
+
+        out = build_fuzzy_sidecar(self.spark, self.dir, max_edits=max_edits)
+        self._fuzzy_meta_cache = None  # reload on next use
+        return out
+
+    _fuzzy_meta_cache: dict | None = None
+
+    def _fuzzy_meta(self) -> dict | None:
+        if self._fuzzy_meta_cache is None:
+            from ..plans.fuzzy_index import fuzzy_meta
+
+            self._fuzzy_meta_cache = fuzzy_meta(self.dir) or {}
+        return self._fuzzy_meta_cache or None
+
+    def _fuzzy_candidates(self, term: str, max_edits: int) -> DataFrame:
+        """Dictionary terms within ``max_edits`` of the needle →
+        DataFrame(term). Uses the deletion-neighborhood sidecar when one
+        covering ``max_edits`` exists: the scan touches ONLY the
+        vbucket directories of the needle's own deletion variants
+        (directory pruning) plus a variant isin pushdown (row-group
+        pruning), then re-checks candidates with exact JVM Levenshtein —
+        bit-identical results to the full-dictionary fallback scan."""
+        t = F.lit(term)
+        exact = (
+            (F.abs(F.length("term") - F.length(t)) <= max_edits)
+            & (F.levenshtein(F.col("term"), t) <= max_edits)
+        )
+        meta = self._fuzzy_meta()
+        if meta and meta["max_edits"] >= max_edits:
+            from ..plans.fuzzy_index import delete_variants_py
+
+            qv = sorted(delete_variants_py(term, max_edits))
+            vb = sorted(
+                {spark_pmod_bucket(v, meta["variant_buckets"]) for v in qv}
+            )
+            base = self.dir / "fuzzy/variants/data"
+            # explicit partition-subset listing (the ANN-index pattern):
+            # only the needle's vbucket dirs are even LISTED — at web
+            # vocabulary a full directory listing is itself a scan
+            paths = [
+                p for b in vb if (p := base / f"vbucket={b}").exists()
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], "term string")
+            return (
+                self.spark.read.option("basePath", str(base))
+                .parquet(*[str(p) for p in paths])
+                .where(F.col("variant").isin(qv))
+                .select("term")
+                .distinct()
+                .where(exact)
+            )
+        return self._term_stats.where(exact).select("term")
+
     def suggest_terms(
         self, term: str, size: int = 3, max_edits: int = 1
     ) -> DataFrame:
         """ES term suggester: correction candidates for a (likely
         misspelled) term — dictionary terms within ``max_edits``, ranked
-        the ES way (higher document frequency first, then term) off the
-        term_stats sidecar; the input term itself is excluded."""
+        the ES way (higher document frequency first, then term); the
+        input term itself is excluded. Candidates come from the banded
+        deletion-neighborhood read when the sidecar exists (see
+        ``_fuzzy_candidates``); df ranking joins off the bucket-pruned
+        term_stats sidecar either way."""
+        meta = self._fuzzy_meta()
+        if meta and meta["max_edits"] >= max_edits:
+            cands = [
+                r["term"]
+                for r in self._fuzzy_candidates(term, max_edits)
+                .where(F.col("term") != term)
+                .collect()
+            ]
+            if not cands:
+                return self.spark.createDataFrame([], "term string, df long")
+            buckets = self._buckets_for(cands)
+            return (
+                self._term_stats.where(
+                    F.col("term_bucket").isin(sorted(set(buckets.values())))
+                    & F.col("term").isin(cands)
+                )
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(size)
+            )
         t = F.lit(term)
         return (
             self._term_stats.where(
@@ -772,19 +855,13 @@ class IndexReader:
         self, term: str, max_edits: int = 1, max_terms: int = 1024
     ) -> list[str]:
         """ES fuzzy-query term expansion: dictionary terms within
-        ``max_edits`` Levenshtein of the needle. JVM levenshtein over the
-        term_stats sidecar with a length-window prefilter (|len diff| ≤
-        max_edits) so the distance only computes on plausible terms."""
-        t = F.lit(term)
-        rows = (
-            self._term_stats.where(
-                (F.abs(F.length("term") - F.length(t)) <= max_edits)
-                & (F.levenshtein(F.col("term"), t) <= max_edits)
-            )
-            .select("term")
-            .limit(max_terms + 1)
-            .collect()
-        )
+        ``max_edits`` Levenshtein of the needle — a banded
+        deletion-neighborhood read when the sidecar exists, else a
+        length-window-prefiltered Levenshtein scan of the term
+        dictionary (see ``_fuzzy_candidates``)."""
+        rows = self._fuzzy_candidates(term, max_edits).limit(
+            max_terms + 1
+        ).collect()
         if len(rows) > max_terms:
             raise ValueError(f"fuzzy {term!r} expands past {max_terms} terms")
         return sorted(r["term"] for r in rows)

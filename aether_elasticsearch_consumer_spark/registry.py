@@ -1562,8 +1562,12 @@ def fulltext_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fulltext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester: spell corrections for 'windoq' ranked by
-    document frequency off the term dictionary."""
-    return _reader_for(spark, sf_dir).suggest_terms("windoq", size=3)
+    document frequency — candidates via the banded deletion-neighborhood
+    sidecar (plans/fuzzy_index.py; built idempotently once per index),
+    never a full-dictionary Levenshtein scan."""
+    rd = _reader_for(spark, sf_dir)
+    rd.ensure_fuzzy_sidecar(max_edits=2)
+    return rd.suggest_terms("windoq", size=3)
 
 
 @register(
@@ -1577,14 +1581,14 @@ def fulltext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fulltext_fuzzy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES fuzzy query off the index: dictionary expansion by Levenshtein
-    distance (JVM levenshtein over the term_stats sidecar with a
-    length-window prefilter) + pruned OR posting union. 'window' ~1 edit
-    covers 'window' and friends."""
-    return (
-        _reader_for(spark, sf_dir)
-        .fuzzy_docs("window", max_edits=1)
-        .agg(F.count("*").alias("cnt"))
+    """ES fuzzy query off the index: dictionary expansion via the banded
+    deletion-neighborhood sidecar (directory-pruned variant-bucket read +
+    exact JVM Levenshtein re-check — plans/fuzzy_index.py) + pruned OR
+    posting union. 'window' ~1 edit covers 'window' and friends."""
+    rd = _reader_for(spark, sf_dir)
+    rd.ensure_fuzzy_sidecar(max_edits=2)
+    return rd.fuzzy_docs("window", max_edits=1).agg(
+        F.count("*").alias("cnt")
     )
 
 
