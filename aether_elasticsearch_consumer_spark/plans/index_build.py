@@ -57,6 +57,10 @@ from .doc_ids import assign_doc_ids
 DEFAULT_DOCS_PER_SEGMENT = 8192
 DEFAULT_TERM_BUCKETS = 16
 
+# bench-only toggle: re-adds the round-3 docs-sidecar range exchange so
+# the saved shuffle can be A/B-measured in one session; never set in code
+_FORCE_RANGE_EXCHANGE = False
+
 # one row per 128-posting block, fully flat — rows build from numpy arrays
 # with zero per-row Python objects, and the query side reads plain columns
 POSTINGS_SCHEMA = T.StructType(
@@ -375,7 +379,10 @@ class IndexBuilder:
                 "id_col": self.id_col,
                 "positions": self.with_positions,
                 "source": fingerprint_extra,
-                "v": 3,  # v3: docs sidecar range-sorted by doc_id
+                # v4: docs sidecar doc_id-sorted straight off the
+                # id-assignment exchange (v3 paid an extra range shuffle
+                # for the same row-group-prunable property)
+                "v": 4,
             }
         )
         manifests = {}
@@ -399,15 +406,31 @@ class IndexBuilder:
                 source, self.profile, self.id_buckets, self.doc_id_offset,
                 id_col=self.id_col,
             )
-            # range-partition + sort the sidecar by doc_id: point lookups
-            # (highlight fragments, more_like_this seed text, phrase doc
-            # lengths, term_vectors) then prune by parquet row-group
-            # min/max instead of scanning the whole corpus — the Lucene
-            # stored-fields analogue of docid-ordered segments. One range
-            # shuffle at build, dwarfed by the postings exchange.
+            # doc_id-sorted sidecar files: point lookups (highlight
+            # fragments, more_like_this seed text, phrase doc lengths,
+            # term_vectors) prune by parquet row-group min/max instead of
+            # scanning the whole corpus — the Lucene stored-fields
+            # analogue of docid-ordered segments.
+            #
+            # The url-rank path needs NO extra exchange for this: the
+            # id-assignment window already hash-partitions by _bucket and
+            # sorts (bucket, url) within tasks, and doc_id = cumulative
+            # bucket offset + url rank is MONOTONE in that sort order, so
+            # each task's output is already doc_id-ascending; the local
+            # sortWithinPartitions just pins the guarantee in the plan
+            # (Catalyst can't prove the equivalence) without shuffling the
+            # full text payload again (round-3's repartitionByRange cost
+            # ~9% of build wall for layout the window provides for free).
+            # Files then cover disjoint-but-interleaved bucket ranges; a
+            # point id matches at most one row group per file, almost
+            # always zero.
+            if self.id_col or _FORCE_RANGE_EXCHANGE:
+                # caller-supplied ids (compact/reindex) carry no such
+                # order — a range exchange is the only way to get a
+                # prunable layout
+                docs = docs.repartitionByRange(F.col("doc_id"))
             (
-                docs.repartitionByRange(F.col("doc_id"))
-                .sortWithinPartitions("doc_id")
+                docs.sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(tmp + "/data")
             )

@@ -88,6 +88,26 @@ def test_ann_query_lists_probed_dirs_only(spark, tmp_path_factory):
     assert len(files) < len(all_files)
 
 
+def test_docs_sidecar_files_are_docid_sorted(reader):
+    """Every docs sidecar file must be internally doc_id-ascending (the
+    row-group min/max pruning contract for point lookups). The build gets
+    this FOR FREE off the id-assignment exchange — doc_id is monotone in
+    the window's (bucket, url) sort — so this pins that no future change
+    silently drops the order (or re-adds a payload shuffle to get it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(str(reader.dir / "docs/data/*.parquet"))
+    assert files
+    seen_any = False
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f
+        seen_any = seen_any or len(ids) > 1
+    assert seen_any
+
+
 def test_no_global_window_in_significant_terms(spark):
     """significant_terms corpus totals must be a broadcast scalar, never a
     partition-less window (which funnels every distinct key through one
