@@ -1341,20 +1341,83 @@ class IndexReader:
                 "the positional sidecar; see also the scan-path "
                 "fulltext_phrase_match for index-free corpora"
             )
+        terms_seq = tokenize_py(phrase, self.profile)
+        if terms_seq and len(terms_seq) == 1 and not with_freq:
+            return self.match_docs(terms_seq[0], "and")
+        return self._phrase_slots_docs(
+            [[t] for t in terms_seq], with_freq=with_freq, slop=slop
+        )
+
+    def phrase_prefix_docs(
+        self,
+        phrase_prefix: str,
+        with_freq: bool = False,
+        max_expansions: int = 50,
+        slop: int = 0,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` (the type-as-you-search query): the
+        input analyzes to a phrase whose LAST term is a prefix — docs
+        matching the head terms in phrase order with ANY dictionary
+        expansion of the prefix in the final slot. ``max_expansions``
+        mirrors ES's cap, applied the same way (dictionary-order first
+        ``max_expansions`` expansions, from ``expand_prefix``'s sorted
+        term_stats read). Runs through the slot-generalized positional
+        verifier — one pruned posting pass, never per-expansion phrase
+        queries; composes with ``slop`` like match_phrase."""
+        toks = tokenize_py(phrase_prefix, self.profile)
+        fields = [T.StructField("doc_id", T.LongType(), False)]
+        if with_freq:
+            fields.append(T.StructField("phrase_freq", T.LongType(), False))
+        if not toks:
+            return self.spark.createDataFrame([], T.StructType(fields))
+        # ES semantics: the FIRST max_expansions dictionary terms in term
+        # order, silently capped (unlike prefix_docs' loud rewrite guard)
+        exp = [
+            r["term"]
+            for r in self._term_stats.where(
+                F.col("term").startswith(toks[-1])
+            )
+            .select("term")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        ]
+        if not exp:
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return self._phrase_slots_docs(
+            [[t] for t in toks[:-1]] + [sorted(exp)],
+            with_freq=with_freq,
+            slop=slop,
+        )
+
+    def _phrase_slots_docs(
+        self, slots: list[list[str]], with_freq: bool = False, slop: int = 0
+    ) -> DataFrame:
+        """The positional verifier, generalized to per-position term SETS:
+        a match places, at each successive position (exact) or within the
+        slop window (greedy walk), ANY term of that position's slot.
+        ``phrase_docs`` passes singleton slots; ``phrase_prefix_docs``
+        passes the prefix expansion as the last slot. Same two-phase
+        pruned read as always: doc-id-only decode → per-slot union,
+        AND-intersect across slots → positions decode only for candidate
+        blocks → packed-key set ops."""
+        if not self.positions:
+            raise ValueError(
+                "this index was built without positions "
+                "(IndexBuilder(with_positions=True)) — phrase queries need "
+                "the positional sidecar"
+            )
         if slop < 0:
             raise ValueError(f"slop must be >= 0, got {slop}")
-        terms_seq = tokenize_py(phrase, self.profile)
         fields = [T.StructField("doc_id", T.LongType(), False)]
         if with_freq:
             # phrase frequency = number of phrase start positions — the tf
             # that ES match_phrase feeds into BM25
             fields.append(T.StructField("phrase_freq", T.LongType(), False))
         out_schema = T.StructType(fields)
-        if not terms_seq:
+        if not slots or any(not s for s in slots):
             return self.spark.createDataFrame([], out_schema)
-        if len(terms_seq) == 1 and not with_freq:
-            return self.match_docs(terms_seq[0], "and")
-        uniq = sorted(set(terms_seq))
+        uniq = sorted({t for s in slots for t in s})
         buckets = self._buckets_for(uniq)
         postings = self._postings.where(
             F.col("term_bucket").isin(list(set(buckets.values())))
@@ -1363,8 +1426,7 @@ class IndexReader:
             "segment_id", "term", "first_doc_id", "last_doc_id", "count",
             "doc_deltas", "tfs", "positions",
         )
-        n_terms = len(uniq)
-        seq = list(terms_seq)
+        seq = [sorted(set(s)) for s in slots]
 
         def collect_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
             empty_cols = {"doc_id": pd.Series(dtype="int64")}
@@ -1372,8 +1434,9 @@ class IndexReader:
                 empty_cols["phrase_freq"] = pd.Series(dtype="int64")
             empty = pd.DataFrame(empty_cols)
             # phase 1: doc-id-only decode per term → candidate docs =
-            # AND intersection. Positions never decode for docs that miss
-            # any term (head-term phrases skip most of their blocks).
+            # AND intersection of the per-slot unions. Positions never
+            # decode for docs that miss any slot (head-term phrases skip
+            # most of their blocks).
             per_term: dict[str, tuple[list[dict], np.ndarray, np.ndarray]] = {}
             for t, grp in pdf.groupby("term", sort=True):
                 blocks = [
@@ -1388,14 +1451,23 @@ class IndexReader:
                 ]
                 ids, tfs_ = _decode_blocks_batch(blocks)
                 per_term[t] = (blocks, ids, tfs_)
-            if len(per_term) < n_terms:
-                # a segment missing any phrase term has no matches
-                return empty
-            uniq_sorted = sorted(per_term)
-            cand_docs = np.unique(per_term[uniq_sorted[0]][1])
-            for t in uniq_sorted[1:]:
-                cand_docs = np.intersect1d(
-                    cand_docs, per_term[t][1], assume_unique=False
+            cand_docs = None
+            for slot in seq:
+                present = [t for t in slot if t in per_term]
+                if not present:
+                    # a segment missing every term of a slot can't match
+                    return empty
+                slot_ids = (
+                    np.unique(per_term[present[0]][1])
+                    if len(present) == 1
+                    else np.unique(
+                        np.concatenate([per_term[t][1] for t in present])
+                    )
+                )
+                cand_docs = (
+                    slot_ids
+                    if cand_docs is None
+                    else np.intersect1d(cand_docs, slot_ids, assume_unique=True)
                 )
                 if not len(cand_docs):
                     return empty
@@ -1418,29 +1490,43 @@ class IndexReader:
                 )
                 kept = [b for b, k in zip(blocks, keep) if k]
                 if not kept:
-                    return empty
+                    # no candidate doc holds this term: fatal only for a
+                    # singleton slot (checked via the slot-union below)
+                    keys[t] = np.empty(0, dtype=np.int64)
+                    continue
                 ids, tfs_ = _decode_blocks_batch(kept)
                 pos = _decode_positions_batch(kept, tfs_)
                 doc_per_tok = np.repeat(ids, tfs_)
                 m = np.isin(doc_per_tok, cand_docs, assume_unique=False)
                 keys[t] = np.sort((doc_per_tok[m] << POS_BITS) | pos[m])
-            starts = keys[seq[0]]
+
+            def slot_keys(slot: list[str]) -> np.ndarray:
+                present = [t for t in slot if t in keys and len(keys[t])]
+                if not present:
+                    return np.empty(0, dtype=np.int64)
+                if len(present) == 1:
+                    return keys[present[0]]
+                return np.unique(np.concatenate([keys[t] for t in present]))
+
+            sks = [slot_keys(s) for s in seq]
+            if any(not len(k) for k in sks):
+                return empty
+            starts = sks[0]
             if slop == 0:
                 cand = starts
-                for i, t in enumerate(seq[1:], start=1):
+                for i, ks in enumerate(sks[1:], start=1):
                     if not len(cand):
                         break
-                    cand = cand[np.isin(cand + i, keys[t], assume_unique=False)]
+                    cand = cand[np.isin(cand + i, ks, assume_unique=False)]
             else:
-                # greedy in-order walk, all starts at once: for each term,
-                # jump to its smallest key strictly after the current one;
-                # a start survives if every jump stays in the same doc and
+                # greedy in-order walk, all starts at once: per slot, jump
+                # to its smallest key strictly after the current one; a
+                # start survives if every jump stays in the same doc and
                 # the final displacement fits the (m-1)+slop window
                 cur = starts
                 alive = np.ones(len(starts), dtype=bool)
                 start_doc = starts >> POS_BITS
-                for t in seq[1:]:
-                    ks = keys[t]
+                for ks in sks[1:]:
                     idx = np.searchsorted(ks, cur + 1, side="left")
                     ok = idx < len(ks)
                     nxt = ks[np.minimum(idx, max(len(ks) - 1, 0))]

@@ -1325,6 +1325,34 @@ def fulltext_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_phrase_prefix",
+    f"""
+    SELECT doc_id,
+           len(list_filter(range(1, len(t)),
+               i -> t[i] = 'table' AND t[i+1] LIKE 's%'))::BIGINT AS pp_freq
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(list_filter(range(1, len(t)),
+              i -> t[i] = 'table' AND t[i+1] LIKE 's%')) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase_prefix`` (type-as-you-search): ``table s`` —
+    'table' followed immediately by ANY dictionary expansion of ``s*``
+    (6 terms in this corpus, under the max_expansions cap so engine and
+    oracle see the same set). One pruned posting pass through the
+    slot-generalized positional verifier (the last slot is the expansion
+    SET — never a per-expansion phrase query); pp_freq = number of match
+    start positions."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .phrase_prefix_docs("table s", with_freq=True)
+        .withColumnRenamed("phrase_freq", "pp_freq")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "agg_pipeline_movavg",
     """
     WITH b AS (

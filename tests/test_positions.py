@@ -310,3 +310,78 @@ def test_highlight_edge_positions(spark, tmp_path):
         "with the term <em>keta</em>",
         "<em>keta</em>",
     }
+
+
+def test_phrase_prefix_matches_python(pos_index):
+    """match_phrase_prefix through the slot-generalized verifier: head
+    terms exact + any dictionary expansion of the trailing prefix in the
+    final slot, freqs included — vs a direct python scan. Also checks
+    slop composition and the ES-style silent max_expansions cap."""
+    reader, docs = pos_index
+    tok_docs = [(i, tokenize_py(t)) for i, t in docs]
+    vocab = sorted({t for _, toks in tok_docs for t in toks})
+
+    def py_pp(head, prefix, slop, exp_cap=None):
+        exp = [t for t in vocab if t.startswith(prefix)]
+        if exp_cap is not None:
+            exp = exp[:exp_cap]
+        exp = set(exp)
+        out = {}
+        for i, toks in tok_docs:
+            n = 0
+            for s in range(len(toks)):
+                if toks[s] != head[0]:
+                    continue
+                # greedy in-order walk over head[1:] then the expansion set
+                cur, ok = s, True
+                for slot in [[h] for h in head[1:]] + [exp]:
+                    nxt = next(
+                        (j for j in range(cur + 1, len(toks))
+                         if toks[j] in slot), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - s <= len(head) + slop:  # m-1 = len(head)
+                    n += 1
+            if n:
+                out[i] = n
+        return out
+
+    # pick a head term that actually precedes some prefix-matching token
+    from collections import Counter
+
+    big = Counter()
+    for _, toks in tok_docs[:100]:
+        big.update(zip(toks, (t[:2] for t in toks[1:])))
+    (head_t, pfx), cnt = big.most_common(1)[0]
+    assert cnt >= 3
+    for slop in (0, 2):
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in reader.phrase_prefix_docs(
+                f"{head_t} {pfx}", with_freq=True, slop=slop
+            ).collect()
+        }
+        want = py_pp([head_t], pfx, slop)
+        assert got == want and got, (head_t, pfx, slop)
+    # silent cap: max_expansions=1 keeps only the dictionary-first term
+    got1 = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in reader.phrase_prefix_docs(
+            f"{head_t} {pfx}", with_freq=True, max_expansions=1
+        ).collect()
+    }
+    assert got1 == py_pp([head_t], pfx, 0, exp_cap=1)
+    # no-head form: bare prefix slot counts every expansion occurrence
+    got_bare = {
+        r["doc_id"]: r["phrase_freq"]
+        for r in reader.phrase_prefix_docs(pfx, with_freq=True).collect()
+    }
+    exp = {t for t in vocab if t.startswith(pfx)}
+    want_bare = {}
+    for i, toks in tok_docs:
+        n = sum(1 for t in toks if t in exp)
+        if n:
+            want_bare[i] = n
+    assert got_bare == want_bare and got_bare
