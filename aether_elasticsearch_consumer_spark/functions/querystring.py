@@ -20,10 +20,14 @@ Supported surface (the subset those saved searches use):
   level has any ``+``/AND clause, plain clauses stop being required)
 - wildcards ``wi*d`` / ``w?ld``, prefix ``wind*``, fuzzy ``term~`` /
   ``term~1``
+- boosts ``term^2`` / ``"a phrase"^1.5`` / ``wind*^3`` (and Lucene's
+  suffix order ``term~1^2``, ``"a b"~2^3``) — score multipliers in
+  SCORED context (``query_string_search``); ignored in filter context,
+  exactly like ES
 - ``\\`` escapes the next character inside a bare term
 
-Deliberately out of scope (raise ValueError): range queries, boosts
-(``^2``), regex ``/…/`` — none appear in the reference's artifacts.
+Deliberately out of scope (raise ValueError): range queries, regex
+``/…/`` — neither appears in the reference's artifacts.
 
 The AST is executed in FILTER context (doc-id sets) by
 ``operators.topk.IndexReader.query_string_docs`` — set algebra stays in
@@ -40,28 +44,33 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class Term:
     text: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Phrase:
     text: str
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Prefix:
     text: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Wildcard:
     pattern: str
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
 class Fuzzy:
     term: str
     max_edits: int = 2
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -76,7 +85,8 @@ Node = Term | Phrase | Prefix | Wildcard | Fuzzy | Bool
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?:[^"\\]|\\.)*"(?:~\d+)? # quoted phrase, optional slop
+        "(?:[^"\\]|\\.)*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?
+                                   # quoted phrase, optional slop + boost
       | \(|\)
       | &&|\|\|
       | [+\-]
@@ -229,6 +239,10 @@ class _Parser:
                 else:
                     t = rest
         if t.startswith('"'):
+            boost = 1.0
+            m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", t, re.DOTALL)
+            if m:
+                t, boost = m.group(1), float(m.group(2))
             slop = 0
             m = re.match(r'^(".*")~(\d+)$', t, re.DOTALL)
             if m:
@@ -236,9 +250,14 @@ class _Parser:
             if not (len(t) >= 2 and t.endswith('"')):
                 raise ValueError(f"unterminated phrase {t!r}")
             body = _unescape(t[1:-1])
-            return Phrase(body, slop)
-        for bad, what in (("^", "boost"), ("/", "regex"), ("[", "range"),
-                          ("{", "range")):
+            return Phrase(body, slop, boost)
+        # boost suffix (rightmost, Lucene order: term~edits^boost)
+        boost = 1.0
+        m = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", t)
+        if m and not m.group(1).endswith("\\"):
+            t, boost = m.group(1), float(m.group(2))
+        for bad, what in (("^", "boost position"), ("/", "regex"),
+                          ("[", "range"), ("{", "range")):
             if bad in t:
                 raise ValueError(f"{what} syntax ({bad!r}) is not supported")
         m = re.match(r"^(.*?)~(\d*)$", t)
@@ -249,15 +268,15 @@ class _Parser:
             edits = int(m.group(2)) if m.group(2) else 2
             if edits > 2:
                 raise ValueError("fuzzy edit distance is capped at 2")
-            return Fuzzy(base, edits)
+            return Fuzzy(base, edits, boost)
         has_wild = re.search(r"(?<!\\)[*?]", t) is not None
         if has_wild:
             # trailing-* with no other wildcard char = prefix query (the
             # term-dictionary expansion is cheaper than a LIKE scan)
             if t.endswith("*") and not re.search(r"(?<!\\)[*?]", t[:-1]):
-                return Prefix(_unescape(t[:-1]))
-            return Wildcard(_unescape(t))
-        return Term(_unescape(t))
+                return Prefix(_unescape(t[:-1]), boost)
+            return Wildcard(_unescape(t), boost)
+        return Term(_unescape(t), boost)
 
 
 def parse_query_string(

@@ -716,23 +716,108 @@ class IndexReader:
             )
         return self.match_docs(" ".join(terms), "or")
 
+    def _docs_term_pairs(self, terms: list[str]) -> DataFrame:
+        """(doc_id, term) pairs off ONE pruned postings pass — the
+        primitive under minimum_should_match clause counting."""
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("term", T.StringType(), False),
+            ]
+        )
+        terms = sorted(set(terms))
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        buckets = self._buckets_for(terms)
+        postings = self._postings.where(
+            F.col("term_bucket").isin(list(set(buckets.values())))
+            & F.col("term").isin(terms)
+        )
+
+        def collect_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_out: list[np.ndarray] = []
+            terms_out: list[np.ndarray] = []
+            for t, grp in pdf.groupby("term", sort=True):
+                blocks = [
+                    {"first_doc_id": int(f), "count": int(c),
+                     "doc_deltas": dd, "tfs": tf}
+                    for f, c, dd, tf in zip(
+                        grp["first_doc_id"], grp["count"],
+                        grp["doc_deltas"], grp["tfs"],
+                    )
+                ]
+                ids, _ = _decode_blocks_batch(blocks)
+                ids_out.append(ids)
+                terms_out.append(np.full(len(ids), t, dtype=object))
+            if not ids_out:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "term": pd.Series(dtype="object")}
+                )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_out).astype(np.int64),
+                    "term": np.concatenate(terms_out),
+                }
+            )
+
+        return self._strip_deleted(
+            postings.groupBy("segment_id").applyInPandas(
+                collect_pairs, out_schema
+            )
+        )
+
     def bool_docs(
         self,
         must: list[str] | None = None,
         should: list[str] | None = None,
         must_not: list[str] | None = None,
+        minimum_should_match: int = 0,
     ) -> DataFrame:
         """ES bool query in FILTER context: docs matching every ``must``
         term, at least one ``should`` term (which becomes required when no
-        ``must`` is given — ES minimum_should_match semantics), and none of
-        the ``must_not`` terms. Composed from the pruned posting reads;
-        set algebra stays in Catalyst (left_semi / left_anti joins on
-        doc_id, broadcast-sized by construction)."""
+        ``must`` is given — ES minimum_should_match default), and none of
+        the ``must_not`` terms. ``minimum_should_match`` > 0 requires that
+        many DISTINCT should clauses to match (a clause that analyzes to
+        several terms counts once when any of them matches), whether or
+        not ``must`` is present — exactly ES's parameter. Composed from
+        the pruned posting reads; set algebra stays in Catalyst
+        (left_semi / left_anti joins on doc_id, broadcast-sized by
+        construction); clause counting is ONE pruned (doc_id, term)
+        pass + a count aggregate, never per-clause scans."""
         must, should, must_not = must or [], should or [], must_not or []
+        msm = minimum_should_match
+        if msm > len(should):
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("doc_id", T.LongType(), False)])
+            )
         base = None
         if must:
             base = self.match_docs(" ".join(must), "and")
-        if should:
+        if should and (msm > 1 or (msm >= 1 and base is not None)):
+            # explicit clause-count threshold: one (doc_id, term) pass,
+            # map term → clause index, count distinct matched clauses
+            clause_of = {}
+            for i, clause in enumerate(should):
+                for t in tokenize_py(clause, self.profile):
+                    clause_of.setdefault(t, i)
+            pairs = self._docs_term_pairs(list(clause_of))
+            clause_col = F.create_map(
+                *[F.lit(x) for kv in clause_of.items() for x in kv]
+            )[F.col("term")]
+            s_docs = (
+                pairs.select("doc_id", clause_col.alias("_clause"))
+                .groupBy("doc_id")
+                .agg(F.countDistinct("_clause").alias("_n"))
+                .where(F.col("_n") >= msm)
+                .select("doc_id")
+            )
+            base = (
+                s_docs
+                if base is None
+                else base.join(s_docs, "doc_id", "left_semi")
+            )
+        elif should:
             s_docs = self.match_docs(" ".join(should), "or")
             if base is None:
                 base = s_docs
@@ -951,25 +1036,51 @@ class IndexReader:
                 leaves.append(n)
 
         walk(node)
+
+        def boosted(df: DataFrame, boost: float) -> DataFrame:
+            # Lucene boost = clause-score multiplier (scored context
+            # only); re-round so the SQL oracle replays the exact ladder.
+            # boost=1 keeps the unboosted plan byte-identical.
+            if boost == 1.0:
+                return df
+            return df.select(
+                "doc_id", F.round(F.col("score") * boost, 9).alias("score")
+            )
+
         parts: list[DataFrame] = []
         for leaf in leaves:
             if isinstance(leaf, qs.Term):
                 terms = tokenize_py(leaf.text, self.profile)
                 if terms:
-                    parts.append(self.score_matches(" ".join(terms)))
+                    parts.append(
+                        boosted(
+                            self.score_matches(" ".join(terms)), leaf.boost
+                        )
+                    )
             elif isinstance(leaf, qs.Phrase):
                 terms = tokenize_py(leaf.text, self.profile)
                 if len(terms) == 1:
-                    parts.append(self.score_matches(terms[0]))
+                    parts.append(
+                        boosted(self.score_matches(terms[0]), leaf.boost)
+                    )
                 elif terms:
                     parts.append(
-                        self.phrase_scores(" ".join(terms), slop=leaf.slop)
+                        boosted(
+                            self.phrase_scores(
+                                " ".join(terms), slop=leaf.slop
+                            ),
+                            leaf.boost,
+                        )
                     )
             else:
                 docs = self._eval_qs(leaf)
                 if docs is not None:
+                    # multi-term expansions rewrite to constant_score —
+                    # the boost IS the constant (ES behavior)
                     parts.append(
-                        docs.select("doc_id", F.lit(1.0).alias("score"))
+                        docs.select(
+                            "doc_id", F.lit(float(leaf.boost)).alias("score")
+                        )
                     )
         if not parts:
             return self.spark.createDataFrame([], TOPK_SCHEMA)

@@ -1325,6 +1325,33 @@ def fulltext_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_bool_msm",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE (CASE WHEN len(list_filter({_TOKS_SQL}, t -> t = 'spark')) > 0
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+                THEN 1 ELSE 0 END)
+        + (CASE WHEN len(list_filter({_TOKS_SQL}, t -> t = 'join')) > 0
+                THEN 1 ELSE 0 END) >= 2
+    ORDER BY doc_id
+    """,
+)
+def fulltext_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool ``minimum_should_match``: docs matching at least 2 of the
+    3 should clauses (spark / window / join) — ONE pruned (doc_id, term)
+    postings pass + a distinct-clause count, never per-clause scans
+    (IndexReader.bool_docs(minimum_should_match=2))."""
+    return (
+        _reader_for(spark, sf_dir)
+        .bool_docs(
+            should=["spark", "window", "join"], minimum_should_match=2
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "fulltext_phrase_prefix",
     f"""
     SELECT doc_id,
@@ -2476,6 +2503,44 @@ def fulltext_query_string_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     every layer and the exact rounding ladder."""
     rd = _reader_pos_for(spark, sf_dir)
     return rd.query_string_search('spark AND "table hash" wind*', k=10)
+
+
+@register(
+    "fulltext_query_string_boost",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, doc_len, unnest(toks) AS term FROM lens
+      ) WHERE term IN ('spark', 'window') GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(
+               round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9)
+               * CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END, 9
+             ) AS s
+      FROM tf, dft, stats WHERE tf.term = dft.term
+    )
+    SELECT doc_id, round(sum(s), 9) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_query_string_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene clause boosts through the scored query-string path:
+    ``spark^2 window`` — the spark clause's 9-dp BM25 doubles (re-rounded
+    to 9 dp, then the per-doc sum re-rounds), the unboosted clause adds
+    as-is; ranking follows the boosted sums. The oracle replays the exact
+    rounding ladder, so a boost that changes the ranking is value-checked,
+    not just smoke-tested."""
+    rd = _reader_for(spark, sf_dir)
+    return rd.query_string_search("spark^2 window", k=10)
 
 
 @register(

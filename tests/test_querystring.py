@@ -32,6 +32,13 @@ GOLDENS = [
     ('"ba ke"~2', Phrase("ba ke", 2)),
     ('"ba ke"~0', Phrase("ba ke", 0)),
     ('text:"ba ke"~3', Phrase("ba ke", 3)),
+    ("keta^2", Term("keta", 2.0)),
+    ("keta^0.5", Term("keta", 0.5)),
+    ('"ba ke"^1.5', Phrase("ba ke", 0, 1.5)),
+    ('"ba ke"~2^3', Phrase("ba ke", 2, 3.0)),
+    ("wind*^1.5", Prefix("wind", 1.5)),
+    ("w?nd^2", Wildcard("w?nd", 2.0)),
+    ("keta~1^2", Fuzzy("keta", 1, 2.0)),
     ("wind*", Prefix("wind")),
     ("w?nd", Wildcard("w?nd")),
     ("ke*a", Wildcard("ke*a")),
@@ -90,7 +97,8 @@ def test_parse_goldens(q, want):
         "",
         "-keta",
         "NOT keta",
-        "keta^2",
+        "ke^2a",
+        "keta^",
         '"a b"~',
         "[1 TO 2]",
         "unknownfield:keta",
@@ -337,3 +345,68 @@ def test_parser_is_total():
             pass
 
     fuzz()
+
+
+def test_query_string_boost_matches_python(qs_index):
+    """Boosted scoring ladder: clause BM25 rounds to 9 dp, multiplies by
+    the boost, re-rounds, per-doc sums re-round — replayed in python over
+    the oracle index; the boost must actually change the ranking vs the
+    unboosted query for the test to mean anything."""
+    from collections import defaultdict
+
+    from aether_elasticsearch_consumer_spark.oracle.engine import (
+        build_oracle_index,
+        score_query,
+    )
+
+    rd, docs = qs_index
+    oracle = build_oracle_index([(i, " ".join(t)) for i, t in docs])
+    total = defaultdict(float)
+    for term, boost in [("keta", 3.0), ("rata", 1.0)]:
+        for d, s in score_query(oracle, term, k=10**9):
+            total[d] += round(s * boost, 9) if boost != 1.0 else s
+    want = sorted(
+        ((d, round(s, 9)) for d, s in total.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in rd.query_string_search("keta^3 rata", k=10).collect()
+    ]
+    assert got == want and got
+    unboosted = [
+        r["doc_id"] for r in rd.query_string_search("keta rata", k=10).collect()
+    ]
+    assert [d for d, _ in got] != unboosted, "boost did not change ranking"
+
+
+def test_bool_minimum_should_match(qs_index):
+    rd, docs = qs_index
+    clauses = ["keta", "gera", "rata"]
+    sets = [{i for i, t in docs if c in t} for c in clauses]
+    for msm in (1, 2, 3):
+        got = {
+            r["doc_id"]
+            for r in rd.bool_docs(
+                should=clauses, minimum_should_match=msm
+            ).collect()
+        }
+        want = {
+            i
+            for i, _ in docs
+            if sum(i in s for s in sets) >= msm
+        }
+        assert got == want, msm
+        assert want or msm == 3, f"degenerate at msm={msm}"
+    # msm beyond the clause count matches nothing
+    assert rd.bool_docs(should=clauses, minimum_should_match=4).count() == 0
+    # msm with must: must filters, should count still enforced
+    got = {
+        r["doc_id"]
+        for r in rd.bool_docs(
+            must=["the"], should=clauses, minimum_should_match=2
+        ).collect()
+    }
+    the = {i for i, t in docs if "the" in t}
+    want = {i for i in the if sum(i in s for s in sets) >= 2}
+    assert got == want and got
