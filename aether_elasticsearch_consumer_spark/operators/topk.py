@@ -1094,6 +1094,87 @@ class IndexReader:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def or_scores(self, query: str) -> DataFrame:
+        """UNCUT OR scoring: every doc matching ANY analyzed query term,
+        scored as the sum of its 9-dp-rounded per-term BM25 scores,
+        re-rounded — the clause ladder ``query_string_search`` uses for
+        should groups, exposed as the primitive under the compound scored
+        queries (boosting, function_score). Pruned per-term posting reads
+        union; the sum is one hash aggregate."""
+        from functools import reduce
+
+        terms = sorted(set(tokenize_py(query, self.profile)))
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        parts = [self.score_matches(t) for t in terms]
+        return (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("score"), 9).alias("score"))
+        )
+
+    def boosting_search(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``boosting`` query: rank by the positive query's score, but
+        docs matching the negative query keep only ``negative_boost`` of
+        it (demotion without exclusion — the query for \"relevant but
+        probably not what you meant\"). score = round(positive_or_score ×
+        (negative_boost if doc ∈ negative else 1), 9); the negative doc
+        set is the usual pruned filter read, attached as a left-semi-style
+        marker join, so no doc scores twice and nothing re-scans."""
+        pos = self.or_scores(positive)
+        neg = self.match_docs(negative, "or").withColumn(
+            "_neg", F.lit(True)
+        )
+        scored = (
+            pos.join(neg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("score")
+                    * F.when(F.col("_neg"), F.lit(float(negative_boost)))
+                    .otherwise(F.lit(1.0)),
+                    9,
+                ).alias("score"),
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def function_score_search(
+        self,
+        query: str,
+        factors: DataFrame,
+        k: int = 10,
+        missing: float = 1.0,
+    ) -> DataFrame:
+        """ES ``function_score`` (field_value_factor form): rank by
+        text relevance × a per-doc numeric factor. ``factors`` is a
+        (doc_id, factor) DataFrame — typically a column expression over
+        the source table (e.g. sqrt(n_chars)); docs without a factor row
+        use ``missing`` (ES's parameter of the same name). score =
+        round(or_score × factor, 9). The factor side joins onto the
+        match set only (the match set is the pruned posting read, usually
+        the small side — AQE broadcasts it), never the whole corpus
+        through the scorer."""
+        pos = self.or_scores(query)
+        scored = (
+            pos.join(factors.select("doc_id", "factor"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("score")
+                    * F.coalesce(F.col("factor"), F.lit(float(missing))),
+                    9,
+                ).alias("score"),
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _empty_ids(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], T.StructType([T.StructField("doc_id", T.LongType(), False)])

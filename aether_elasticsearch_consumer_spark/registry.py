@@ -2543,6 +2543,78 @@ def fulltext_query_string_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rd.query_string_search("spark^2 window", k=10)
 
 
+_OR_SCORES_SQL = f"""
+    lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, n_chars FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len,
+             unnest({_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    pos AS (
+      SELECT doc_id, round(sum(s), 9) AS s FROM (
+        SELECT tf.doc_id,
+               round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+        FROM tf, dft, stats WHERE tf.term = dft.term
+      ) GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "fulltext_boosting_query",
+    f"""
+    WITH {_OR_SCORES_SQL}
+    SELECT p.doc_id AS doc_id,
+           round(p.s * CASE WHEN len(list_filter(
+                 (SELECT {_TOKS_SQL} FROM documents d
+                  WHERE d.doc_id = p.doc_id), t -> t = 'join')) > 0
+               THEN 0.4 ELSE 1.0 END, 9) AS score
+    FROM pos p
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boosting`` query: rank by ``spark window`` relevance, docs
+    also containing 'join' demoted to 0.4× (demotion without exclusion).
+    Positive scores = the uncut OR ladder (9-dp parts, re-rounded sum);
+    the negative set is the pruned filter read attached as a marker
+    join."""
+    return _reader_for(spark, sf_dir).boosting_search(
+        "spark window", "join", negative_boost=0.4, k=10
+    )
+
+
+@register(
+    "fulltext_function_score",
+    f"""
+    WITH {_OR_SCORES_SQL}
+    SELECT p.doc_id AS doc_id,
+           round(p.s * sqrt(l.n_chars::DOUBLE), 9) AS score
+    FROM pos p JOIN lens l ON p.doc_id = l.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` (field_value_factor): ``spark window``
+    relevance × sqrt(n_chars) — longer pages win ties. sqrt is correctly
+    rounded IEEE-754 on both the JVM and DuckDB, so the 9-dp product
+    hashes identically; the factor joins onto the match set only."""
+    rd = _reader_for(spark, sf_dir)
+    factors = _docs(spark, sf_dir).select(
+        "doc_id", F.sqrt(F.col("n_chars").cast("double")).alias("factor")
+    )
+    return rd.function_score_search("spark window", factors, k=10)
+
+
 @register(
     "fulltext_explain_doc",
     f"""

@@ -128,3 +128,71 @@ def test_more_like_this_matches_python(xidx):
         for r in rd.more_like_this(seed, max_query_terms=10, k=10).collect()
     ]
     assert got == want and got
+
+
+def test_boosting_and_function_score_match_python(spark, xidx):
+    """ES boosting + function_score compound scorers vs direct python
+    replication of the documented ladders; both must provably reorder
+    the ranking vs plain OR scoring for the test to mean anything."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    rd, docs, oracle = xidx
+
+    def r9(x):
+        # Spark F.round = HALF_UP on the shortest decimal repr
+        # (BigDecimal.valueOf); python round() is half-even — differs at
+        # exact 9-dp halfway products like s * 0.3
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    def or_scores(terms):
+        total = defaultdict(float)
+        for t in terms:
+            for d, s in score_query(oracle, t, k=10**9):
+                total[d] += s
+        return {d: round(s, 9) for d, s in total.items()}
+
+    pos = or_scores(["keta", "gera"])
+    plain0 = sorted(pos.items(), key=lambda kv: (-kv[1], kv[0]))
+    toks_by_id = {i: set(tokenize_py(t)) for i, t, _ in docs}
+    # a negative term held by the leader but not the runner-up: demoting
+    # it guarantees the ranking actually changes
+    neg_term = sorted(
+        toks_by_id[plain0[0][0]] - toks_by_id[plain0[1][0]] - {"keta", "gera"}
+    )[0]
+    neg = {i for i, t, _ in docs if neg_term in toks_by_id[i]}
+    want = sorted(
+        ((d, r9(s * (0.3 if d in neg else 1.0))) for d, s in pos.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in rd.boosting_search("keta gera", neg_term, 0.3, k=10).collect()
+    ]
+    assert got == want and got
+    plain = sorted(pos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in got] != [d for d, _ in plain], "no demotion happened"
+
+    # function_score: factor = sqrt(analyzed length), missing impossible
+    lens = {i: float(len(tokenize_py(t))) for i, t, _ in docs}
+    import math
+
+    wantf = sorted(
+        ((d, r9(s * math.sqrt(lens[d]))) for d, s in pos.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    factors = spark.createDataFrame(
+        [(d, math.sqrt(l)) for d, l in lens.items()], "doc_id long, factor double"
+    )
+    gotf = [
+        (r["doc_id"], r["score"])
+        for r in rd.function_score_search("keta gera", factors, k=10).collect()
+    ]
+    assert gotf == wantf and gotf
+    assert [d for d, _ in gotf] != [d for d, _ in plain], "factor inert"
