@@ -22,7 +22,7 @@ stay in int64 — reproducible across cluster sizes.
 
 from __future__ import annotations
 
-import zlib
+import hashlib as _hashlib
 
 import numpy as np
 import pandas as pd
@@ -313,10 +313,15 @@ def ngram_jaccard_pairs(
 
 
 def _token_hash64(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes (crc32 high/low halves)."""
+    """Deterministic 64-bit token hashes: first 8 md5 bytes, big-endian.
+    md5 (unlike the crc32 pair used in earlier rounds) is computable
+    bit-exactly in DuckDB SQL — ``('0x' || substr(md5(t), 1, 16))::
+    UBIGINT`` — which is what gives ``dedup_simhash`` a full value
+    oracle. Runs once per BATCH-unique token (the vocab pass), so the
+    per-token digest cost never touches the instance stream."""
     return np.array(
         [
-            (zlib.crc32(t.encode()) << 32) | zlib.crc32((t + "\x00s").encode())
+            int.from_bytes(_hashlib.md5(t.encode()).digest()[:8], "big")
             for t in tokens
         ],
         dtype=np.uint64,

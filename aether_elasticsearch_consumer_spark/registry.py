@@ -408,16 +408,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t, count(*)::BIGINT AS c FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+      ) GROUP BY doc_id, t
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h, c
+      FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, bb.b AS b,
+             sum(c * (2 * ((h >> bb.b) & 1)::BIGINT - 1)) AS vote
+      FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    sims AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b) END),
+                      0)::UBIGINT AS sim
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::INT AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join.
-
-    rows-only BY NECESSITY (the one remaining no_oracle entry): the
-    64-bit token hash is crc32-based, which DuckDB cannot reproduce in
-    SQL. Compensating checks: the pigeonhole join is EXACT given the
-    fingerprints (recall 1 by construction, bit_count-verified), asserted
-    against brute-force all-pairs hamming over real fixture docs in
-    tests/test_dedup_similarity.py::test_simhash_pigeonhole_exact_vs_bruteforce."""
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole chunk join —
+    shuffle on chunk values, never n². Round 4 switched the 64-bit token
+    hash from crc32 (not SQL-expressible — this was the registry's one
+    rows-only entry) to the first 8 md5 bytes, which DuckDB reproduces
+    bit-exactly, so the oracle now recomputes the full fingerprints and
+    brute-forces the pair set: the banded join's exactness is
+    value-checked end to end, not just pinned in pytest."""
     return simhash_neardup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
