@@ -7,13 +7,17 @@ the uncompressed raster formats REAL (pure numpy, no external libs):
 
 - PPM (P6 binary) → (h, w, 3) uint8
 - BMP (uncompressed 24-bit BI_RGB, bottom-up or top-down) → (h, w, 3)
+- WAV (RIFF PCM 8/16/24/32-bit, any channel count) → (n, ch) float64 in
+  [-1, 1) + sample rate (stdlib ``wave`` + numpy — no external libs)
 
-plus ``resize_nearest`` (vectorized nearest-neighbor). Compressed formats
-(JPEG/PNG/video) need real codec libraries this container doesn't ship;
-for those ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True`` (deterministic byte-level pseudo-decode so the distributed
-plumbing stays testable end-to-end). Swap in PIL/cv2/ffmpeg at the same
-seam in production; nothing else changes.
+plus ``resize_nearest`` (vectorized nearest-neighbor) and
+``audio_features`` (distributed decode → duration/rms/peak per clip).
+Compressed formats (JPEG/PNG/MP3/video) need real codec libraries this
+container doesn't ship; for those ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True`` (deterministic byte-level
+pseudo-decode so the distributed plumbing stays testable end-to-end).
+Swap in PIL/cv2/ffmpeg at the same seam in production; nothing else
+changes.
 """
 
 from __future__ import annotations
@@ -136,6 +140,86 @@ def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
         "compressed image codecs unavailable in this container — PPM/BMP "
         "decode natively; pass fake=True for the deterministic test decode, "
         "or plug PIL/cv2 here in production"
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM → ((n_frames, channels) float64 in [-1, 1), rate).
+    Stdlib ``wave`` parses the container; numpy converts the sample
+    stream (8-bit unsigned, 16/32-bit little-endian signed, 24-bit
+    packed). Compressed WAV (non-PCM) raises via ``wave`` itself."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf)) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 → 32 bits
+        x = v.astype(np.float64) / 8388608.0
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} bytes")
+    return x.reshape(-1, nch), rate
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_sec", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, key_col: str, binary_col: str) -> DataFrame:
+    """Distributed audio featurization over WAV binaries via mapInPandas:
+    REAL decode (stdlib wave + numpy), then duration / RMS / peak per
+    clip — the batch shape a real embedding model (whisper-style) would
+    consume. Doubles round to 9 dp so results are replay-deterministic."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[binary_col]):
+                x, rate = decode_wav(bytes(buf))
+                n = x.shape[0]
+                rms = float(np.sqrt((x**2).mean())) if n else 0.0
+                peak = float(np.abs(x).max()) if n else 0.0
+                rows.append(
+                    (
+                        str(key),
+                        int(rate),
+                        int(x.shape[1]),
+                        int(n),
+                        round(n / rate, 9),
+                        round(rms, 9),
+                        round(peak, 9),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "sample_rate", "channels", "n_frames",
+                    "duration_sec", "rms", "peak",
+                ],
+            )
+
+    return df.select(key_col, binary_col).mapInPandas(
+        featurize, AUDIO_FEATURE_SCHEMA
     )
 
 
