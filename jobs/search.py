@@ -24,19 +24,31 @@ from aether_elasticsearch_consumer_spark.session import get_spark
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--index-dir", required=True,
+                    help="index dir, live-pointer file, or legacy symlink")
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--urls", action="store_true", help="join doc urls")
+    ap.add_argument(
+        "--query-string", action="store_true",
+        help="treat --query as the Lucene query-string language "
+             '(phrases, ~slop, ^boosts, +/-, AND/OR/NOT, wildcards) and '
+             "rank with query_string_search",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark("search", cores=args.cores)
     reader = IndexReader(spark, args.index_dir)
     t0 = time.time()
-    hits = reader.search(args.query, k=args.k)
+    if args.query_string:
+        hits = reader.query_string_search(args.query, k=args.k)
+    else:
+        hits = reader.search(args.query, k=args.k)
     if args.urls:
-        docs = spark.read.parquet(f"{args.index_dir}/docs/data").select(
+        # reader.dir is the RESOLVED index dir (works when --index-dir is
+        # a live-pointer file)
+        docs = spark.read.parquet(f"{reader.dir}/docs/data").select(
             "doc_id", "url"
         )
         # preserve the engine's (score desc, doc_id asc) determinism
