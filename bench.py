@@ -80,6 +80,10 @@ def main():
     # compilation (same warmup discipline as the latency section below)
     registry._index_for(spark, sf_dir)
     registry._index_for_pos(spark, sf_dir)
+    # the fuzzy deletion-neighborhood sidecar is likewise a one-time
+    # per-index build (idempotent run_stage) — warm it so the fuzzy
+    # entry times the banded QUERY path, not sidecar construction
+    registry._reader_for(spark, sf_dir).ensure_fuzzy_sidecar(max_edits=2)
     registry.queries()["fulltext_index_single_term"](spark, sf_dir).collect()
     t_total = time.time()
     per_query: dict[str, float] = {}
