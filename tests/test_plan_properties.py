@@ -140,3 +140,20 @@ def test_no_global_window_in_search_phrase(spark, tmp_path_factory):
     rd = IndexReader(spark, str(root / "idx"))
     plan = _plan(rd.search_phrase("keta gera", k=5))
     assert "Window" not in plan
+    # round-4 compound operators keep the same contracts: pruned
+    # postings reads, no global windows, broadcast-sized joins
+    for df in (
+        rd.phrase_prefix_docs("keta ge", with_freq=True),
+        rd.phrase_docs("keta gera", slop=2),
+        rd.bool_docs(should=["keta", "gera", "rata"], minimum_should_match=2),
+    ):
+        p = _plan(df)
+        assert "Window" not in p
+        assert "PartitionFilters" in p
+        assert "term_bucket" in p.split("PartitionFilters")[1][:200]
+    for df in (
+        rd.boosting_search("keta gera", "rata", 0.4, k=5),
+        rd.query_string_search("keta^2 gera", k=5),
+    ):
+        p = _plan(df)
+        assert "Window" not in p
