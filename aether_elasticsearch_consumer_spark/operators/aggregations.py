@@ -367,3 +367,42 @@ def filters_agg(df: DataFrame, named_filters: dict[str, Column]) -> DataFrame:
             for name, pred in named_filters.items()
         ]
     )
+
+
+def adjacency_matrix_agg(df: DataFrame, named_filters: dict) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: doc counts for every named filter AND
+    every pairwise intersection (key "a&b", names sorted — ES's key
+    format), all in ONE conditional-aggregation pass over the data (no
+    per-cell scans, no self-joins); zero-count cells are dropped like ES
+    does. Output: (key, doc_count) ordered by key."""
+    names = sorted(named_filters)
+    aggs = []
+    keys = []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(
+            F.sum(F.when(named_filters[a], 1).otherwise(0)).alias(f"_c{len(keys)-1}")
+        )
+        for b in names[i + 1:]:
+            keys.append(f"{a}&{b}")
+            aggs.append(
+                F.sum(
+                    F.when(named_filters[a] & named_filters[b], 1).otherwise(0)
+                ).alias(f"_c{len(keys)-1}")
+            )
+    row = df.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.col(f"_c{i}").cast("long").alias("doc_count"),
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    return (
+        row.select(F.explode(cells).alias("cell"))
+        .select("cell.key", "cell.doc_count")
+        .where(F.col("doc_count") > 0)
+        .orderBy("key")
+    )

@@ -977,6 +977,44 @@ class IndexReader:
     def wildcard_docs(self, pattern: str, max_terms: int = 1024) -> DataFrame:
         return self._docs_for_terms(self.expand_wildcard(pattern, max_terms))
 
+    def expand_regex(self, pattern: str, max_terms: int = 1024) -> list[str]:
+        """ES regexp-query term expansion: dictionary terms FULL-matching
+        the pattern (ES anchors regexps implicitly; the JVM RLIKE is a
+        search, so the pattern wraps in ^(?:…)$). Same metadata-sized
+        dictionary scan + rewrite guard as wildcard expansion. Dialect
+        note: the registered oracle uses DuckDB regexp_full_match — stick
+        to the POSIX-common subset (classes, dots, quantifiers,
+        alternation) that Java and RE2 agree on."""
+        rows = (
+            self._term_stats.where(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term")
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(f"regexp {pattern!r} expands past {max_terms} terms")
+        return sorted(r["term"] for r in rows)
+
+    def regexp_docs(self, pattern: str, max_terms: int = 1024) -> DataFrame:
+        """Docs containing any dictionary term full-matching ``pattern``
+        — expansion + the pruned OR posting union (ES regexp query)."""
+        return self._docs_for_terms(self.expand_regex(pattern, max_terms))
+
+    def rare_terms(self, max_doc_count: int, size: int = 10) -> DataFrame:
+        """ES ``rare_terms`` aggregation over the analyzed text field:
+        terms whose document frequency is ≤ ``max_doc_count``, rarest
+        first (df asc, term asc) — a metadata read off the term_stats
+        sidecar, never a corpus scan (ES itself needs a special agg
+        because ordering terms ASCENDING by count is the pathological
+        case for its top-N heaps; the dictionary sidecar makes it a
+        filter)."""
+        return (
+            self._term_stats.where(F.col("df") <= max_doc_count)
+            .select("term", "df")
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(size)
+        )
+
     def prefix_docs(self, prefix: str, max_terms: int = 1024) -> DataFrame:
         """Docs containing ANY term with the given prefix: dictionary
         expansion + the same pruned OR posting union as ``match_docs``."""

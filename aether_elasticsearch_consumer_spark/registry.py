@@ -1354,6 +1354,88 @@ def fulltext_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_regexp",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE len(list_filter({_TOKS_SQL},
+              t -> regexp_full_match(t, 'w.nd.*'))) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``regexp`` query: dictionary terms FULL-matching ``w.nd.*``
+    (ES-anchored semantics) expand off the term_stats sidecar, then the
+    pruned OR posting union — never a corpus regex scan. Pattern stays
+    in the POSIX-common subset Java regex and DuckDB RE2 agree on."""
+    return (
+        _reader_for(spark, sf_dir).regexp_docs("w.nd.*").orderBy("doc_id")
+    )
+
+
+@register(
+    "agg_rare_terms",
+    f"""
+    WITH d AS (
+      SELECT term, count(*)::BIGINT AS df FROM (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      ) GROUP BY term
+    )
+    SELECT term, df FROM d WHERE df <= 380
+    ORDER BY df ASC, term ASC LIMIT 10
+    """,
+)
+def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` agg (terms with df ≤ max_doc_count, rarest
+    first): ascending-by-count is the pathological case for ES's top-N
+    heaps (it ships a dedicated agg with CuckooFilters); off the
+    dictionary sidecar it is a metadata filter + sort."""
+    return _reader_for(spark, sf_dir).rare_terms(max_doc_count=380, size=10)
+
+
+@register(
+    "agg_adjacency_matrix",
+    f"""
+    WITH f AS (
+      SELECT (len(list_filter({_TOKS_SQL}, t -> t = 'join')) > 0) AS fj,
+             (len(list_filter({_TOKS_SQL}, t -> t = 'spark')) > 0) AS fs,
+             (len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0) AS fw
+      FROM documents
+    )
+    SELECT key, doc_count FROM (
+      SELECT 'join' AS key,
+             sum(CASE WHEN fj THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM f
+      UNION ALL SELECT 'join&spark',
+             sum(CASE WHEN fj AND fs THEN 1 ELSE 0 END)::BIGINT FROM f
+      UNION ALL SELECT 'join&window',
+             sum(CASE WHEN fj AND fw THEN 1 ELSE 0 END)::BIGINT FROM f
+      UNION ALL SELECT 'spark',
+             sum(CASE WHEN fs THEN 1 ELSE 0 END)::BIGINT FROM f
+      UNION ALL SELECT 'spark&window',
+             sum(CASE WHEN fs AND fw THEN 1 ELSE 0 END)::BIGINT FROM f
+      UNION ALL SELECT 'window',
+             sum(CASE WHEN fw THEN 1 ELSE 0 END)::BIGINT FROM f
+    ) WHERE doc_count > 0 ORDER BY key
+    """,
+)
+def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: per-filter and pairwise-intersection
+    doc counts (keys 'a', 'a&b' — ES's format) in ONE conditional-
+    aggregation pass, zero-count cells dropped."""
+    from .operators.aggregations import adjacency_matrix_agg
+
+    toks = tokenize_col("text")
+    d = _docs(spark, sf_dir)
+    return adjacency_matrix_agg(
+        d,
+        {
+            "join": F.array_contains(toks, "join"),
+            "spark": F.array_contains(toks, "spark"),
+            "window": F.array_contains(toks, "window"),
+        },
+    )
+
+
+@register(
     "fulltext_bool_msm",
     f"""
     SELECT doc_id FROM documents
