@@ -406,3 +406,56 @@ def adjacency_matrix_agg(df: DataFrame, named_filters: dict) -> DataFrame:
         .where(F.col("doc_count") > 0)
         .orderBy("key")
     )
+
+
+def multi_terms_agg(df: DataFrame, fields: list, size: int = 10) -> DataFrame:
+    """ES ``multi_terms`` bucket agg: one bucket per combination of
+    several keys (doc count desc, then keys asc — a total order, so the
+    size cut is deterministic). One two-phase hash aggregation."""
+    cols = [F.col(f).cast("string").alias(f) for f in fields]
+    base = df.select(*cols)
+    for f in fields:
+        base = base.where(F.col(f).isNotNull())
+    return (
+        base.groupBy(*fields)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), *[F.asc(f) for f in fields])
+        .limit(size)
+    )
+
+
+def weighted_avg_agg(df: DataFrame, value: Column, weight: Column) -> DataFrame:
+    """ES ``weighted_avg`` metric: sum(v·w)/sum(w), null-safe the ES way
+    (rows missing either side drop out)."""
+    ok = value.isNotNull() & weight.isNotNull()
+    return df.where(ok).agg(
+        F.round(F.sum(value * weight) / F.sum(weight), 6).alias("weighted_avg")
+    )
+
+
+def date_range_agg(
+    df: DataFrame, field: str, bounds: list
+) -> DataFrame:
+    """ES ``date_range`` bucket agg: half-open [from, to) buckets over a
+    timestamp field, labelled 'from-to' with '*' for open ends (ES key
+    format, ISO dates). Ranges are independent (overlap allowed) — each
+    is a conditional sum in ONE pass, like ``range_agg``."""
+    c = F.col(field)
+    sums = []
+    labels = []
+    for lo, hi in bounds:
+        label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        labels.append(label)
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= F.to_timestamp(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (c < F.to_timestamp(F.lit(hi)))
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_d{len(labels) - 1}")
+        )
+    one = df.agg(*sums)
+    stack_args = ", ".join(f"'{label}', _d{i}" for i, label in enumerate(labels))
+    return one.select(
+        F.expr(f"stack({len(labels)}, {stack_args}) as (bucket, cnt)")
+    ).orderBy("bucket")

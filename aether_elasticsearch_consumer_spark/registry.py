@@ -1521,6 +1521,74 @@ def agg_pipeline_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_multi_terms",
+    """
+    SELECT lang, source, count(*)::BIGINT AS cnt FROM documents
+    WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY lang, source
+    ORDER BY cnt DESC, lang ASC, source ASC LIMIT 5
+    """,
+)
+def agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_terms`` bucket agg: top (lang, source) combinations by
+    doc count — one two-phase hash aggregation, total-order cut."""
+    from .operators.aggregations import multi_terms_agg
+
+    return multi_terms_agg(_docs(spark, sf_dir), ["lang", "source"], size=5)
+
+
+@register(
+    "agg_weighted_avg",
+    """
+    SELECT round(sum(value * (event_id % 7 + 1))
+                 / sum(event_id % 7 + 1), 6) AS weighted_avg
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``weighted_avg`` metric: value weighted by a per-row weight
+    (deterministic event_id-derived weight so both sides compute the
+    identical number)."""
+    from .operators.aggregations import weighted_avg_agg
+
+    return weighted_avg_agg(
+        _events(spark, sf_dir),
+        F.col("value"),
+        (F.col("event_id") % 7 + 1).cast("double"),
+    )
+
+
+@register(
+    "agg_date_range",
+    """
+    SELECT bucket, cnt FROM (
+      SELECT '*-2024-01-10' AS bucket,
+             sum(CASE WHEN ts IS NOT NULL AND ts < TIMESTAMP '2024-01-10'
+                 THEN 1 ELSE 0 END)::BIGINT AS cnt FROM events
+      UNION ALL SELECT '2024-01-10-2024-01-20',
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                      AND ts < TIMESTAMP '2024-01-20'
+                 THEN 1 ELSE 0 END)::BIGINT FROM events
+      UNION ALL SELECT '2024-01-20-*',
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-20'
+                 THEN 1 ELSE 0 END)::BIGINT FROM events
+    ) ORDER BY bucket
+    """,
+)
+def agg_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` bucket agg: independent half-open timestamp
+    ranges, ES '*'-open key labels, one conditional-aggregation pass."""
+    from .operators.aggregations import date_range_agg
+
+    return date_range_agg(
+        _events(spark, sf_dir),
+        "ts",
+        [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+         ("2024-01-20", None)],
+    )
+
+
+@register(
     "agg_percentile_ranks",
     """
     SELECT round(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) * 100.0
