@@ -385,3 +385,82 @@ def test_phrase_prefix_matches_python(pos_index):
         if n:
             want_bare[i] = n
     assert got_bare == want_bare and got_bare
+
+
+def test_slop_and_prefix_random_adversarial(spark, tmp_path_factory):
+    """Adversarial verifier hardening: 60 random docs over a 4-letter
+    alphabet (maximal term repeats / self-overlap — the shapes the webtext
+    fixture never produces), then every combination of random phrase ×
+    slop × prefix-slot checked against the exhaustive per-start python
+    evaluator. Catches greedy-walk and duplicate-term regressions the
+    corpus tests can't."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = ["ga", "ta", "ca", "aa"]
+    docs = [
+        (f"https://r/{i}", " ".join(rng.choice(alpha) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    src = spark.createDataFrame(docs, "url string, text string")
+    root = tmp_path_factory.mktemp("advpos")
+    IndexBuilder(
+        spark, str(root / "i"), docs_per_segment=16, term_buckets=4,
+        with_positions=True,
+    ).build(src, fingerprint_extra="adv60")
+    rd = IndexReader(spark, str(root / "i"))
+    tok_docs = [
+        (r["doc_id"], tokenize_py(r["text"]))
+        for r in spark.read.parquet(str(root / "i/docs/data"))
+        .select("doc_id", "text").collect()
+    ]
+
+    def py_slots(toks, slots, slop):
+        # exhaustive in-order sloppy match over term-SET slots
+        def ok_from(p, rest, budget):
+            if not rest:
+                return True
+            for q in range(p + 1, min(p + 1 + budget, len(toks) - len(rest)) + 1):
+                if toks[q] in rest[0] and ok_from(q, rest[1:], budget - (q - p - 1)):
+                    return True
+            return False
+
+        n = 0
+        for p, t in enumerate(toks):
+            if t in slots[0] and ok_from(p, slots[1:], slop):
+                n += 1
+        return n
+
+    checked = 0
+    for trial in range(40):
+        m = rng.randint(2, 4)
+        seq = [rng.choice(alpha) for _ in range(m)]
+        slop = rng.choice([0, 1, 2, 4])
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in rd.phrase_docs(
+                " ".join(seq), with_freq=True, slop=slop
+            ).collect()
+        }
+        want = {
+            i: f for i, toks in tok_docs
+            if (f := py_slots(toks, [[t] for t in seq], slop)) > 0
+        }
+        assert got == want, (seq, slop)
+        checked += bool(want)
+    assert checked >= 10, "fixture too sparse — phrases never matched"
+    # phrase-prefix over the same adversarial corpus: last slot 'a' or 'c'
+    for pfx, slop in [("a", 0), ("c", 1), ("g", 2)]:
+        head = rng.choice(alpha)
+        exp = [t for t in alpha if t.startswith(pfx)]
+        got = {
+            r["doc_id"]: r["phrase_freq"]
+            for r in rd.phrase_prefix_docs(
+                f"{head} {pfx}", with_freq=True, slop=slop
+            ).collect()
+        }
+        want = {
+            i: f for i, toks in tok_docs
+            if (f := py_slots(toks, [[head], exp], slop)) > 0
+        }
+        assert got == want, (head, pfx, slop)
