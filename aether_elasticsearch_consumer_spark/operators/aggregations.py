@@ -459,3 +459,43 @@ def date_range_agg(
     return one.select(
         F.expr(f"stack({len(labels)}, {stack_args}) as (bucket, cnt)")
     ).orderBy("bucket")
+
+
+AUTO_DH_LADDER = ["minute", "hour", "day", "week", "month", "year"]
+
+
+def auto_date_histogram_agg(
+    df: DataFrame, field: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    from a fixed ladder (minute→hour→day→week→month→year) whose bucket
+    count fits ``target_buckets``, then run the histogram at it. The
+    selection is ONE tiny aggregate (all ladder cardinalities in a single
+    pass, map-side partial) collected to the driver; the result carries
+    the chosen interval so the choice itself is value-checked. Ladder
+    documented — ES's own ladder adds sub-minute and multiples; calendar
+    truncation (Monday weeks) matches DuckDB's, keeping the oracle
+    exact."""
+    c = F.col(field)
+    counts = (
+        df.where(c.isNotNull())
+        .agg(
+            *[
+                F.countDistinct(F.date_trunc(iv, c)).alias(iv)
+                for iv in AUTO_DH_LADDER
+            ]
+        )
+        .collect()[0]
+    )
+    chosen = AUTO_DH_LADDER[-1]
+    for iv in AUTO_DH_LADDER:
+        if int(counts[iv]) <= target_buckets:
+            chosen = iv
+            break
+    return (
+        df.where(c.isNotNull())
+        .groupBy(F.date_trunc(chosen, c).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit(chosen).alias("interval"), "bucket", "cnt")
+        .orderBy("bucket")
+    )

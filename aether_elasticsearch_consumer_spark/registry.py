@@ -1521,6 +1521,52 @@ def agg_pipeline_movavg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_auto_date_histogram",
+    """
+    WITH c AS (
+      SELECT count(DISTINCT date_trunc('minute', ts)) AS cminute,
+             count(DISTINCT date_trunc('hour', ts)) AS chour,
+             count(DISTINCT date_trunc('day', ts)) AS cday,
+             count(DISTINCT date_trunc('week', ts)) AS cweek,
+             count(DISTINCT date_trunc('month', ts)) AS cmonth
+      FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+      SELECT CASE WHEN cminute <= 10 THEN 'minute'
+                  WHEN chour <= 10 THEN 'hour'
+                  WHEN cday <= 10 THEN 'day'
+                  WHEN cweek <= 10 THEN 'week'
+                  WHEN cmonth <= 10 THEN 'month'
+                  ELSE 'year' END AS iv
+      FROM c
+    )
+    SELECT p.iv AS interval,
+           (CASE p.iv WHEN 'minute' THEN date_trunc('minute', ts)
+                      WHEN 'hour' THEN date_trunc('hour', ts)
+                      WHEN 'day' THEN date_trunc('day', ts)
+                      WHEN 'week' THEN date_trunc('week', ts)
+                      WHEN 'month' THEN date_trunc('month', ts)
+                      ELSE date_trunc('year', ts) END)::TIMESTAMP AS bucket,
+           count(*)::BIGINT AS cnt
+    FROM events, p WHERE ts IS NOT NULL
+    GROUP BY p.iv, bucket ORDER BY bucket
+    """,
+)
+def agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``auto_date_histogram``: the engine picks the smallest ladder
+    interval fitting the 10-bucket budget (selection = one multi-
+    cardinality aggregate), runs the histogram at it, and exposes the
+    chosen interval as a column — the oracle re-derives the choice from
+    the same ladder, so the selection logic is value-checked, not just
+    the buckets."""
+    from .operators.aggregations import auto_date_histogram_agg
+
+    return auto_date_histogram_agg(
+        _events(spark, sf_dir), "ts", target_buckets=10
+    )
+
+
+@register(
     "agg_multi_terms",
     """
     SELECT lang, source, count(*)::BIGINT AS cnt FROM documents
