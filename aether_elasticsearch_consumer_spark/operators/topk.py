@@ -1000,6 +1000,49 @@ class IndexReader:
         — expansion + the pruned OR posting union (ES regexp query)."""
         return self._docs_for_terms(self.expand_regex(pattern, max_terms))
 
+    def span_first_docs(self, term: str, end: int) -> DataFrame:
+        """ES ``span_first`` query: docs whose FIRST ``end`` token
+        positions contain the term (title-ish matching without a title
+        field) — the positional read filtered on min position, pure
+        Catalyst over the pruned per-term positions."""
+        toks = tokenize_py(term, self.profile)
+        if len(toks) != 1:
+            raise ValueError("span_first takes exactly one analyzed term")
+        return (
+            self.term_positions(toks[0])
+            .where(F.array_min("positions") < end)  # positions are 0-based
+            .select("doc_id")
+        )
+
+    def terms_lookup_docs(self, doc_id: int, max_terms: int = 64) -> DataFrame:
+        """ES ``terms`` lookup query: filter terms come from ANOTHER
+        document (ES fetches the lookup doc's field values, then runs a
+        terms filter). Here: the lookup doc's ``max_terms``
+        highest-tf·idf terms (the more_like_this selection rule) OR'd
+        through the pruned posting union — the seed doc itself stays in
+        the result (unlike more_like_this, which is a ranking API and
+        drops it)."""
+        from collections import Counter
+
+        rows = (
+            self.spark.read.parquet(str(self.dir / "docs/data"))
+            .where(F.col("doc_id") == doc_id)
+            .select("text")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"doc_id {doc_id} not in index")
+        tf = Counter(tokenize_py(rows[0]["text"], self.profile))
+        dfs = self.term_dfs(sorted(tf))
+        ranked = sorted(
+            (
+                (-round(c * float(idf_np(self.N, dfs.get(t, 0))), 6), t)
+                for t, c in tf.items()
+            ),
+        )[:max_terms]
+        terms = [t for _, t in ranked]
+        return self._docs_for_terms(terms)
+
     def rare_terms(self, max_doc_count: int, size: int = 10) -> DataFrame:
         """ES ``rare_terms`` aggregation over the analyzed text field:
         terms whose document frequency is ≤ ``max_doc_count``, rarest

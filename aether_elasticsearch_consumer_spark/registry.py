@@ -1436,6 +1436,65 @@ def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_span_first",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE nullif(list_position({_TOKS_SQL}, 'window'), 0) <= 10
+    ORDER BY doc_id
+    """,
+)
+def fulltext_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_first``: docs with 'window' among their first 10
+    analyzed tokens — the positional read filtered on min position
+    (title-ish matching without a title field)."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .span_first_docs("window", end=10)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fulltext_terms_lookup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf_all AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf_all GROUP BY term
+    ),
+    stats AS (SELECT count(DISTINCT doc_id)::BIGINT AS N FROM toks),
+    sel AS (
+      SELECT s.term
+      FROM tf_all s, dft d, stats st
+      WHERE s.doc_id = 42 AND s.term = d.term
+      ORDER BY round(s.tf * ln(1.0 + (st.N - d.df + 0.5) / (d.df + 0.5)), 6)
+               DESC, s.term ASC
+      LIMIT 8
+    )
+    SELECT DISTINCT doc_id FROM tf_all
+    WHERE term IN (SELECT term FROM sel)
+    ORDER BY doc_id
+    """,
+)
+def fulltext_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms`` LOOKUP query: the filter's term list comes from
+    another document (doc 42's 8 most characteristic terms by the
+    more_like_this tf·idf rule, which the oracle replays), then the
+    pruned OR posting union — the filter-context sibling of
+    more_like_this (seed doc kept, nothing scored)."""
+    return (
+        _reader_for(spark, sf_dir)
+        .terms_lookup_docs(42, max_terms=8)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "fulltext_bool_msm",
     f"""
     SELECT doc_id FROM documents
