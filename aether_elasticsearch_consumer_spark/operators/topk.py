@@ -1084,6 +1084,29 @@ class IndexReader:
 
         return self._eval_qs(parse_query_string(q))
 
+    def percolate(self, queries: dict) -> DataFrame:
+        """ES percolator, batch form: which saved searches match which
+        docs → (query_id, doc_id). The reference's actual workload — its
+        dashboards carry saved Lucene query strings
+        (visualization.py:46-53) that are re-evaluated over the corpus.
+        Each query's filter is the usual pruned-read Catalyst plan; the
+        union is one job. (ES's percolator inverts the problem to match
+        ONE doc against many stored queries — for the streaming analogue,
+        run this over the micro-batch's delta index.)"""
+        from functools import reduce
+
+        parts = [
+            self.query_string_docs(q).select(
+                F.lit(qid).alias("query_id"), "doc_id"
+            )
+            for qid, q in sorted(queries.items())
+        ]
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long"
+            )
+        return reduce(DataFrame.unionByName, parts)
+
     def query_string_search(self, q: str, k: int = 10) -> DataFrame:
         """SCORED query-string execution (ES query_string returns ranked
         hits, not just a filter): docs passing the boolean filter, ranked

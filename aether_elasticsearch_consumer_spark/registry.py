@@ -2341,6 +2341,83 @@ def fulltext_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_collapse_inner_hits",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, doc_len, unnest({_TOKS_SQL}) AS term FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('join', 'spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    scored AS (
+      SELECT tf.doc_id AS doc_id,
+             round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}), 9) AS score
+      FROM tf, dft, stats WHERE tf.term = dft.term
+      GROUP BY tf.doc_id
+    )
+    SELECT d.lang AS lang, s.doc_id AS doc_id, s.score AS score
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    QUALIFY row_number() OVER (
+      PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) <= 3
+    ORDER BY lang, score DESC, doc_id
+    """,
+)
+def fulltext_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapse WITH inner_hits (size=3): the 3 best BM25 hits
+    per ``lang`` — the key-partitioned-window path of
+    ``collapse_top_hits`` (scales when keys are plentiful; the k=1 entry
+    pins the window-free hash-aggregate path)."""
+    rd = _reader_for(spark, sf_dir)
+    keys = spark.read.parquet(_index_for(spark, sf_dir) + "/docs/data").select(
+        "doc_id", "lang"
+    )
+    return (
+        rd.collapse_top_hits(_Q1, keys, "lang", k_per_key=3)
+        .select("lang", "doc_id", "score")
+        .orderBy("lang", F.desc("score"), "doc_id")
+    )
+
+
+@register(
+    "fulltext_percolate",
+    f"""
+    SELECT query_id, doc_id FROM (
+      SELECT 'q_both' AS query_id, doc_id FROM documents
+      WHERE len(list_filter({_TOKS_SQL}, t -> t = 'spark')) > 0
+        AND len(list_filter({_TOKS_SQL}, t -> t = 'window')) > 0
+      UNION ALL
+      SELECT 'q_phrase', doc_id FROM documents
+      WHERE contains(' ' || array_to_string({_TOKS_SQL}, ' ') || ' ',
+                     ' table hash ')
+      UNION ALL
+      SELECT 'q_wild', doc_id FROM documents
+      WHERE len(list_filter({_TOKS_SQL}, t -> t LIKE 'wind%')) > 0
+        AND len(list_filter({_TOKS_SQL}, t -> t = 'join')) = 0
+    ) ORDER BY query_id, doc_id
+    """,
+)
+def fulltext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (batch form): three saved Lucene query strings —
+    the reference's dashboard artifacts — evaluated over the corpus in
+    one unioned plan of pruned filter reads → (query_id, doc_id)."""
+    rd = _reader_pos_for(spark, sf_dir)
+    return rd.percolate(
+        {
+            "q_both": "spark AND window",
+            "q_phrase": '"table hash"',
+            "q_wild": "wind* -join",
+        }
+    ).orderBy("query_id", "doc_id")
+
+
+@register(
     "fulltext_more_like_this",
     f"""
     WITH lens AS (
