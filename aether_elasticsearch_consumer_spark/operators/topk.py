@@ -936,6 +936,30 @@ class IndexReader:
             .limit(size)
         )
 
+    def suggest_phrase(self, text: str, max_edits: int = 1) -> DataFrame:
+        """ES ``phrase`` suggester, simplified: correct a multi-word
+        input token-by-token — a token present in the dictionary stays;
+        an absent one is replaced by its best correction (highest df
+        within ``max_edits``, then term asc — the term-suggester rule),
+        or kept verbatim when nothing is within reach. → one row
+        (input, suggestion). Documented deviation: ES re-ranks whole
+        candidate phrases with a bigram language model (Stupid Backoff);
+        the per-token independence here is the deterministic,
+        oracle-replayable core of that feature. Candidate lookups ride
+        the banded deletion-neighborhood sidecar when present."""
+        toks = tokenize_py(text, self.profile)
+        dfs = self.term_dfs(sorted(set(toks)))
+        out = []
+        for t in toks:
+            if dfs.get(t, 0) > 0:
+                out.append(t)
+                continue
+            best = self.suggest_terms(t, size=1, max_edits=max_edits).collect()
+            out.append(best[0]["term"] if best else t)
+        return self.spark.createDataFrame(
+            [(text, " ".join(out))], "input string, suggestion string"
+        )
+
     def expand_fuzzy(
         self, term: str, max_edits: int = 1, max_terms: int = 1024
     ) -> list[str]:

@@ -1910,6 +1910,45 @@ def fulltext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_suggest_phrase",
+    f"""
+    WITH d AS (
+      SELECT term, count(*)::BIGINT AS df FROM (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      ) GROUP BY term
+    )
+    SELECT 'windoq tabel hash' AS input,
+           coalesce(
+             (SELECT term FROM d WHERE term = 'windoq'),
+             (SELECT term FROM d WHERE levenshtein(term, 'windoq') <= 1
+              ORDER BY df DESC, term ASC LIMIT 1),
+             'windoq')
+           || ' ' ||
+           coalesce(
+             (SELECT term FROM d WHERE term = 'tabel'),
+             (SELECT term FROM d WHERE levenshtein(term, 'tabel') <= 1
+              ORDER BY df DESC, term ASC LIMIT 1),
+             'tabel')
+           || ' ' ||
+           coalesce(
+             (SELECT term FROM d WHERE term = 'hash'),
+             (SELECT term FROM d WHERE levenshtein(term, 'hash') <= 1
+              ORDER BY df DESC, term ASC LIMIT 1),
+             'hash') AS suggestion
+    """,
+)
+def fulltext_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``phrase`` suggester (simplified, per-token — deviation from
+    the bigram LM documented in ``IndexReader.suggest_phrase``):
+    'windoq tabel hash' → in-dictionary tokens stay, absent ones take
+    their highest-df ≤1-edit correction. The oracle replays the
+    keep/correct/fallback ladder per token."""
+    rd = _reader_for(spark, sf_dir)
+    rd.ensure_fuzzy_sidecar(max_edits=2)
+    return rd.suggest_phrase("windoq tabel hash", max_edits=1)
+
+
+@register(
     "fulltext_fuzzy_count",
     f"""
     WITH toks AS (

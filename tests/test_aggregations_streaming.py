@@ -362,3 +362,70 @@ def test_stream_index_upsert_mode(spark, tmp_path):
     # replay with the same checkpoint: no-op
     run()
     assert IndexReader(spark, str(live)).N == 120
+
+
+def test_stream_percolate_alerts_on_new_docs_only(spark, tmp_path):
+    """The ES watcher/alerting composition: saved query strings
+    percolated against each micro-batch's NEW documents (the delta
+    doc-id range — disjoint by the stream_index offset contract). Wave 2
+    must alert only on wave-2 docs, and the union of both waves' alerts
+    must equal percolation over the final live index."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import tokenize_py
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
+        stream_index,
+    )
+    from pyspark.sql import functions as F
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    full = webtext_df(spark, 160, partitions=2).cache()
+    page = "cast(substring(url, length(url) - 7, 8) as int)"
+    full.where(f"{page} < 100").coalesce(1).write.parquet(str(incoming / "w1"))
+    schema = spark.read.parquet(str(incoming / "w1")).schema
+    live = tmp_path / "live"
+    queries = {"q_keta": "keta", "q_phrase": '"ba ke"', "q_not": "gera -keta"}
+
+    def run():
+        stream_index(
+            spark, str(incoming / "*"), schema, str(live),
+            str(tmp_path / "wk"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, docs_per_segment=64, term_buckets=4,
+            with_positions=True,
+        )
+
+    run()
+    n1 = IndexReader(spark, str(live)).N
+    full.where(f"{page} >= 100").coalesce(1).write.parquet(str(incoming / "w2"))
+    run()
+    rd = IndexReader(spark, str(live))
+    assert rd.N == 160
+    all_alerts = {
+        (r["query_id"], r["doc_id"]) for r in rd.percolate(queries).collect()
+    }
+    new_alerts = {
+        (q, d) for q, d in all_alerts if d >= n1
+    }
+    # python replay over the live corpus
+    docs = [
+        (r["doc_id"], tokenize_py(r["text"]))
+        for r in spark.read.parquet(str(rd.dir / "docs/data"))
+        .select("doc_id", "text").collect()
+    ]
+
+    def matches(toks, qid):
+        if qid == "q_keta":
+            return "keta" in toks
+        if qid == "q_phrase":
+            return any(a == "ba" and b == "ke" for a, b in zip(toks, toks[1:]))
+        return "gera" in toks and "keta" not in toks
+
+    want_all = {
+        (q, d) for d, toks in docs for q in queries if matches(toks, q)
+    }
+    assert all_alerts == want_all and all_alerts
+    want_new = {(q, d) for q, d in want_all if d >= n1}
+    assert new_alerts == want_new
+    assert new_alerts and new_alerts != all_alerts  # both waves alerted
+    full.unpersist()
