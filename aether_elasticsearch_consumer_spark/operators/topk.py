@@ -903,7 +903,11 @@ class IndexReader:
         input term itself is excluded. Candidates come from the banded
         deletion-neighborhood read when the sidecar exists (see
         ``_fuzzy_candidates``); df ranking joins off the bucket-pruned
-        term_stats sidecar either way."""
+        term_stats sidecar either way. Ranking uses the BUILD-time df
+        (not delete-adjusted) — suggestion frequencies go stale under
+        tombstones exactly like Lucene's until a compact, which is the
+        behavior ES users see; retrieval through ``fuzzy_docs`` still
+        strips deleted docs exactly."""
         meta = self._fuzzy_meta()
         if meta and meta["max_edits"] >= max_edits:
             cands = [

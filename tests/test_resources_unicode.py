@@ -188,3 +188,102 @@ def test_unicode_round3_surface(spark, tmp_path):
     assert victim not in {
         r["doc_id"] for r in rd2.highlight(term, window=2).collect()
     }
+
+
+def test_unicode_round4_surface(spark, tmp_path):
+    """Round-4 reader ops on a unicode-profile positional index: phrase
+    slop, phrase-prefix, banded fuzzy (deletion variants over non-ASCII
+    codepoints), query-level highlight, and fuzzy-after-tombstones — the
+    Arrow tokenizer and the python analyzer must agree on all of them."""
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import tokenize_py
+    from aether_elasticsearch_consumer_spark.plans.tombstones import apply_deletes
+
+    src = spark.createDataFrame(
+        [(f"https://x.example/{i}", t) for i, t in UNICODE_DOCS],
+        "url string, text string",
+    )
+    d = str(tmp_path / "uidx4")
+    IndexBuilder(
+        spark, d, profile="unicode", docs_per_segment=4, term_buckets=4,
+        with_positions=True,
+    ).build(src, fingerprint_extra="unicode-r4")
+    rd = IndexReader(spark, d)
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{d}/docs/data")
+        .select("doc_id", "text").collect()
+    ]
+    toks = {i: tokenize_py(t, "unicode") for i, t in docs}
+    a, b = toks[0][0], toks[0][2]  # gap-2 pair from doc 0
+    # slop: a ... b within window 1+slop, in order
+    for slop in (1, 3):
+        got = {
+            r["doc_id"]
+            for r in rd.phrase_docs(f"{a} {b}", slop=slop).collect()
+        }
+        want = {
+            i
+            for i, tt in toks.items()
+            if any(
+                tt[p] == a and b in tt[p + 1:p + 2 + slop]
+                for p in range(len(tt))
+            )
+        }
+        assert got == want, slop
+    assert rd.phrase_docs(f"{a} {b}", slop=3).count() >= 1
+    # phrase-prefix: head a, prefix = first char of b
+    pfx = b[0]
+    exp = {t for tt in toks.values() for t in tt if t.startswith(pfx)}
+    got = {
+        r["doc_id"]
+        for r in rd.phrase_prefix_docs(f"{a} {pfx}").collect()
+    }
+    want = {
+        i
+        for i, tt in toks.items()
+        if any(tt[p] == a and p + 1 < len(tt) and tt[p + 1] in exp
+               for p in range(len(tt)))
+    }
+    assert got == want
+    # banded fuzzy over non-ASCII codepoints: sidecar variants must use
+    # codepoint deletion on both sides (python needle vs Catalyst dict)
+    rd.ensure_fuzzy_sidecar(max_edits=2)
+    rd2 = IndexReader(spark, d)
+    vocab = {t for tt in toks.values() for t in tt}
+
+    def lev(x, y):
+        dp = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, dp[0] = dp[0], i
+            for j, cy in enumerate(y, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (cx != cy))
+        return dp[len(y)]
+
+    needle = max(vocab, key=len)  # longest unicode term
+    for e in (1, 2):
+        got_f = rd2.expand_fuzzy(needle, max_edits=e, max_terms=10_000)
+        want_f = sorted(t for t in vocab if lev(t, needle) <= e)
+        assert got_f == want_f, (needle, e)
+    # query-level highlight over a unicode query
+    frs = {
+        r["doc_id"]: r["fragment"]
+        for r in rd.highlight_query(f'{a} OR "{a} {b}"~3', window=2).collect()
+    }
+    assert frs
+    for frag in frs.values():
+        assert "<em>" in frag
+    # tombstone a doc: fuzzy/slop/prefix must all drop it
+    victim = sorted(want)[0] if want else docs[0][0]
+    apply_deletes(spark, d, [victim])
+    rd3 = IndexReader(spark, d)
+    assert victim not in {
+        r["doc_id"] for r in rd3.phrase_docs(f"{a} {b}", slop=3).collect()
+    }
+    assert victim not in {
+        r["doc_id"] for r in rd3.phrase_prefix_docs(f"{a} {pfx}").collect()
+    }
+    assert victim not in {
+        r["doc_id"]
+        for r in rd3.fuzzy_docs(needle, max_edits=1, max_terms=10_000).collect()
+    }
