@@ -40,6 +40,16 @@ def main(argv=None):
         help="dict = int64 term codes in the postings shuffle (default); "
              "strings = round-1 behaviour (term strings in the shuffle)",
     )
+    ap.add_argument(
+        "--with-positions", action="store_true",
+        help="store per-posting token offsets (enables phrase/slop/"
+             "prefix-phrase queries and positional highlight)",
+    )
+    ap.add_argument(
+        "--fuzzy-sidecar", type=int, metavar="MAX_EDITS", default=None,
+        help="also build the deletion-neighborhood sidecar for banded "
+             "fuzzy/suggest expansion (plans/fuzzy_index.py)",
+    )
     args = ap.parse_args(argv)
     if not args.source and not args.synthetic:
         ap.error("need --source or --synthetic")
@@ -74,8 +84,18 @@ def main(argv=None):
         docs_per_segment=args.docs_per_segment,
         term_buckets=args.term_buckets,
         term_coding=args.term_coding,
+        with_positions=args.with_positions,
     )
     manifests = builder.build(src, fingerprint_extra=fp, force=args.force)
+    if args.fuzzy_sidecar is not None:
+        from aether_elasticsearch_consumer_spark.plans.fuzzy_index import (
+            build_fuzzy_sidecar,
+        )
+
+        manifests["fuzzy"] = build_fuzzy_sidecar(
+            spark, args.index_dir, max_edits=args.fuzzy_sidecar,
+            force=args.force,
+        )
     elapsed = time.time() - t0
     n = manifests["stats"].get("N")
     print(
