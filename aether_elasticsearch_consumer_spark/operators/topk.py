@@ -1245,6 +1245,22 @@ class IndexReader:
             .agg(F.round(F.sum("score"), 9).alias("score"))
         )
 
+    def search_filtered(
+        self, query: str, filter_docs: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """ES bool {must: match, filter: …}: rank by text relevance but
+        only over docs passing a structured (non-scoring) filter — the
+        single most common ES query shape. Scoring uses the uncut OR
+        ladder (``or_scores``); the filter attaches as a left-semi join
+        (broadcast-sized when the filter is selective, AQE decides), so
+        pruning assumptions never interact with the filter — exact under
+        ANY filter, unlike threading a filter through block-max
+        skipping."""
+        scored = self.or_scores(query).join(
+            filter_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def boosting_search(
         self,
         positive: str,
@@ -1550,6 +1566,45 @@ class IndexReader:
                     F.concat(prefix, mid, suffix), " "
                 ).alias("fragment"),
             )
+        )
+
+    def highlight_fragments(
+        self, term: str, window: int = 5, max_fragments: int = 3
+    ) -> DataFrame:
+        """ES ``highlight`` with number_of_fragments > 1: up to
+        ``max_fragments`` fragments per matching doc, one per occurrence
+        in position order → (doc_id, frag_no, fragment). Same machinery
+        as ``highlight`` (positional read → Catalyst slicing over matched
+        sidecar rows only), with posexplode over the first N stored
+        offsets."""
+        toks_q = tokenize_py(term, self.profile)
+        if len(toks_q) != 1:
+            raise ValueError("highlight takes exactly one analyzed term")
+        term = toks_q[0]
+        occ = self.term_positions(term).select(
+            "doc_id",
+            F.posexplode(
+                F.slice(F.sort_array("positions"), 1, max_fragments)
+            ).alias("_i", "_p"),
+        ).select(
+            "doc_id",
+            (F.col("_i") + 1).cast("long").alias("frag_no"),
+            (F.col("_p") + 1).alias("p"),  # 1-based
+        )
+        docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
+            "doc_id", "text"
+        )
+        toks = tokenize_col("text", self.profile)
+        start = F.greatest(F.lit(1), F.col("p") - window)
+        prefix = F.when(
+            F.col("p") > 1, F.slice(toks, start, F.col("p") - start)
+        ).otherwise(F.array().cast("array<string>"))
+        mid = F.array(F.concat(F.lit("<em>"), F.lit(term), F.lit("</em>")))
+        suffix = F.slice(toks, F.col("p") + 1, window)
+        return occ.join(docs, "doc_id").select(
+            "doc_id",
+            "frag_no",
+            F.array_join(F.concat(prefix, mid, suffix), " ").alias("fragment"),
         )
 
     def highlight_query(self, q: str, window: int = 5) -> DataFrame:

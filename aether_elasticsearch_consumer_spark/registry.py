@@ -2301,6 +2301,80 @@ def fulltext_highlight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_filtered_search",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, lang FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len,
+             unnest({_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    pos AS (
+      SELECT doc_id, round(sum(s), 9) AS score FROM (
+        SELECT tf.doc_id,
+               round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+        FROM tf, dft, stats WHERE tf.term = dft.term
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id AS doc_id, p.score AS score
+    FROM pos p JOIN lens l ON p.doc_id = l.doc_id
+    WHERE l.lang = 'en'
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool {must: match 'spark window', filter: lang='en'} — THE
+    standard ES query shape: text relevance ranked only over docs
+    passing a structured non-scoring filter. Uncut OR-ladder scoring +
+    left-semi filter join; exact under any filter by construction."""
+    rd = _reader_for(spark, sf_dir)
+    filt = _docs(spark, sf_dir).where(F.col("lang") == "en").select("doc_id")
+    return rd.search_filtered("spark window", filt, k=10)
+
+
+@register(
+    "fulltext_highlight_fragments",
+    f"""
+    WITH m AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             list_filter(range(1, len({_TOKS_SQL}) + 1),
+                         i -> {_TOKS_SQL}[i] = 'window') AS ps
+      FROM documents
+    )
+    SELECT doc_id, fn.n AS frag_no,
+           array_to_string(
+             toks[CASE WHEN ps[fn.n] > 5 THEN ps[fn.n] - 5 ELSE 1 END
+                  : ps[fn.n] - 1]
+             || ['<em>window</em>']
+             || toks[ps[fn.n] + 1 : ps[fn.n] + 5], ' ') AS fragment
+    FROM m, (SELECT unnest(range(1, 4)) AS n) fn
+    WHERE fn.n <= least(len(ps), 3)
+    ORDER BY doc_id, frag_no
+    """,
+)
+def fulltext_highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight with number_of_fragments=3: one fragment per stored
+    occurrence (position order) up to three per doc — posexplode over the
+    positional read, then the same Catalyst slicing as single-fragment
+    highlight; the oracle replays per-occurrence windows off
+    list_filter'd positions."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .highlight_fragments("window", window=5, max_fragments=3)
+        .orderBy("doc_id", "frag_no")
+    )
+
+
+@register(
     "fulltext_search_after",
     f"""
     WITH lens AS (
