@@ -127,6 +127,44 @@ class LshAnnIndex:
         ).coalesce(1).write.mode("overwrite").parquet(str(out / "meta"))
         return LshAnnIndex(spark, index_dir)
 
+    def append(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "LshAnnIndex":
+        """Incremental maintenance: signature + partition NEW vectors with
+        the STORED planes (dim/n_planes/seed from meta — bit-identical
+        hashing to the original build) and append into the same
+        ``sig_prefix`` directories. Because hyperplane LSH is stateless,
+        an appended index answers queries EXACTLY like a from-scratch
+        build over the union (pinned in tests). Append-only contract:
+        ids must be new — replaying a batch duplicates rows (pair with
+        the upsert/tombstone machinery of the text index if vectors
+        mutate)."""
+        planes = self.planes
+        shift = self.n_planes - self.prefix_bits
+
+        @F.pandas_udf(T.LongType())
+        def sig_udf(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(signature_bits(mat, planes))
+
+        (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                sig_udf(F.col(vec_col)).alias("sig"),
+            )
+            .withColumn(
+                "sig_prefix", F.shiftrightunsigned("sig", shift).cast("int")
+            )
+            .write.mode("append")
+            .partitionBy("sig_prefix")
+            .parquet(str(self.dir / "data"))
+        )
+        return self
+
     def probe_paths(
         self, query_vec, max_hamming: int, max_prefix_hamming: int | None = None
     ) -> list[str]:
@@ -268,6 +306,46 @@ class IvfAnnIndex:
             "list_id int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(str(out / "centroids"))
         return IvfAnnIndex(spark, index_dir)
+
+    def append(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfAnnIndex":
+        """Incremental maintenance, FAISS ``add()`` style: assign NEW
+        vectors to the EXISTING (frozen) centroids and append into their
+        list directories. Identical to a from-scratch build that pins the
+        same centroids (pinned in tests); list balance drifts from
+        optimal as the corpus grows — rebuild to re-select centroids,
+        exactly the IVF retraining trade. Append-only id contract, as
+        with ``LshAnnIndex.append``."""
+        cent = self.centroids
+        cent_n = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+        )
+
+        @F.pandas_udf(T.IntegerType())
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series(
+                np.argmax(mat_n @ cent_n.T, axis=1).astype(np.int32)
+            )
+
+        (
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            .withColumn("list_id", assign_udf(F.col("embedding")))
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(str(self.dir / "data"))
+        )
+        return self
 
     def probe_paths(self, query_vec, nprobe: int) -> list[str]:
         q = np.asarray(query_vec, dtype=np.float64)

@@ -129,3 +129,52 @@ class TestIvfIndex:
             for r in brute_force_topk(emb, qvec, k=10).collect()
         ]
         assert got == want
+
+
+def test_lsh_append_equals_full_build(spark, tmp_path):
+    """Incremental LSH maintenance: build on half the vectors, append the
+    other half — every query must answer EXACTLY like a from-scratch
+    build over the union (stateless hyperplane hashing + same stored
+    planes)."""
+    from aether_elasticsearch_consumer_spark.plans.ann_index import LshAnnIndex
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    h1, h2 = emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)
+    inc = LshAnnIndex.build(spark, h1, str(tmp_path / "inc"), n_planes=16, prefix_bits=6)
+    inc.append(h2)
+    full = LshAnnIndex.build(spark, emb, str(tmp_path / "full"), n_planes=16, prefix_bits=6)
+    for qid in (3, 7, 11):
+        qv = emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        a = [(r["vec_id"], r["cosine"]) for r in inc.query(qv, k=10, max_hamming=6, max_prefix_hamming=2).collect()]
+        b = [(r["vec_id"], r["cosine"]) for r in full.query(qv, k=10, max_hamming=6, max_prefix_hamming=2).collect()]
+        assert a == b and a, qid
+
+
+def test_ivf_append_equals_pinned_centroid_build(spark, tmp_path):
+    """Incremental IVF maintenance (FAISS add() semantics): append onto
+    frozen centroids == from-scratch build that pins the same centroid
+    ids."""
+    from aether_elasticsearch_consumer_spark.plans.ann_index import IvfAnnIndex
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    h1, h2 = emb.where(F.col("vec_id") % 2 == 0), emb.where(F.col("vec_id") % 2 == 1)
+    inc = IvfAnnIndex.build(spark, h1, str(tmp_path / "inc"), n_centroids=8)
+    cent_ids = None
+    # recover the centroid ids the half-build picked (smallest xxhash64)
+    cent_ids = [
+        r["vec_id"]
+        for r in h1.select("vec_id")
+        .withColumn("_h", F.xxhash64(F.col("vec_id")))
+        .orderBy("_h", "vec_id").limit(8).collect()
+    ]
+    inc.append(h2)
+    full = IvfAnnIndex.build(
+        spark, emb, str(tmp_path / "full"), centroid_ids=cent_ids
+    )
+    for qid in (3, 7, 11):
+        qv = emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        a = [(r["vec_id"], r["cosine"]) for r in inc.query(qv, k=10, nprobe=4).collect()]
+        b = [(r["vec_id"], r["cosine"]) for r in full.query(qv, k=10, nprobe=4).collect()]
+        assert a == b and a, qid
