@@ -1,6 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
+(Task-surface module, not reference parity: the reference
+— /root/reference/consumer/app/processor.py — processes typed JSON
+documents only; multimodal columns are part of this repo's
+training-data-pipeline surface, SURVEY.md §2 extras.)
+
 The Spark-side contract is fully real — schemas, Arrow batch shapes,
 ``mapInPandas`` partitioning, metadata structs. The codec layer decodes
 the uncompressed raster formats REAL (pure numpy, no external libs):
