@@ -53,9 +53,13 @@ def run_stage(
     extra metrics for the manifest. Commit = rename(tmp → out) + manifest
     write, in that order (manifest last, per the reference idiom)."""
     out = Path(out_dir)
-    if not force and stage_done(out, fingerprint):
-        return json.loads((out / MANIFEST).read_text())
     tmp = out.with_name(out.name + ".__tmp__")
+    if not force and stage_done(out, fingerprint):
+        # a stale tmp from a killed attempt is dead weight even when the
+        # stage itself is committed — sweep it on the skip path too
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        return json.loads((out / MANIFEST).read_text())
     if tmp.exists():
         shutil.rmtree(tmp)
     if out.exists():

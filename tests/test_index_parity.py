@@ -279,3 +279,41 @@ def test_concurrent_searches_are_deterministic(spark, index_dir):
     with cf.ThreadPoolExecutor(max_workers=8) as ex:
         for q, res in ex.map(run, queries):
             assert res == serial[q], q
+
+
+def test_crash_windows_in_stage_commit(spark, tmp_path):
+    """run_stage's two crash windows, exercised end-to-end on a real
+    build: (a) output dir renamed but manifest never written (crash
+    between the two) — the stage must re-run and converge; (b) a stale
+    __tmp__ dir from a killed attempt — must be swept, never merged.
+    After both injections the index answers queries identically to an
+    untouched build."""
+    import shutil
+
+    src = webtext_df(spark, 120, partitions=2)
+    kw = dict(docs_per_segment=32, term_buckets=4)
+    ref = str(tmp_path / "ref")
+    IndexBuilder(spark, ref, **kw).build(src, fingerprint_extra="cw")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in IndexReader(spark, ref).search("keta gera the", k=10).collect()
+    ]
+
+    d = str(tmp_path / "crash")
+    IndexBuilder(spark, d, **kw).build(src, fingerprint_extra="cw")
+    # (a) crash between rename and manifest write of term_stats
+    import os
+
+    os.remove(os.path.join(d, "term_stats", "_MANIFEST.json"))
+    # (b) stale tmp dir from a killed postings attempt
+    stale = os.path.join(d, "postings.__tmp__")
+    os.makedirs(os.path.join(stale, "data"), exist_ok=True)
+    with open(os.path.join(stale, "data", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    IndexBuilder(spark, d, **kw).build(src, fingerprint_extra="cw")
+    assert not os.path.exists(stale)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in IndexReader(spark, d).search("keta gera the", k=10).collect()
+    ]
+    assert got == want and got
