@@ -429,3 +429,107 @@ def test_stream_percolate_alerts_on_new_docs_only(spark, tmp_path):
     assert new_alerts == want_new
     assert new_alerts and new_alerts != all_alerts  # both waves alerted
     full.unpersist()
+
+
+def test_stream_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Watermarked tumbling event-time counts: a second wave delivers one
+    in-watermark late event (must be counted) and one event later than
+    the watermark horizon (must be dropped); finalized windows emit
+    exactly once (append mode)."""
+    import datetime as dt
+
+    from aether_elasticsearch_consumer_spark.streaming.windowed import (
+        stream_windowed_counts,
+    )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def rows(*specs):
+        return [(T0 + dt.timedelta(minutes=m), k) for m, k in specs]
+
+    schema = "ts timestamp, event_type string"
+    spark.createDataFrame(
+        rows((1, "a"), (2, "a"), (11, "b"), (61, "a")), schema
+    ).coalesce(1).write.parquet(str(incoming / "w1"))
+    sch = spark.read.parquet(str(incoming / "w1")).schema
+
+    def run():
+        stream_windowed_counts(
+            spark, str(incoming / "*"), sch, str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), window="10 minutes",
+            watermark="20 minutes",
+        )
+
+    run()
+    # wave 2: minute 3 'a' is ~58 min late (past the 20-min watermark →
+    # dropped); minute 55 'b' is within watermark (counted); minute 70
+    # advances time
+    spark.createDataFrame(
+        rows((3, "a"), (55, "b"), (70, "a")), schema
+    ).coalesce(1).write.parquet(str(incoming / "w2"))
+    run()
+    # wave 3: a minute-90 event advances the watermark past 13:00 so the
+    # [12:50,13:00) window finalizes and emits
+    spark.createDataFrame(rows((90, "a")), schema).coalesce(1).write.parquet(
+        str(incoming / "w3")
+    )
+    run()
+    got = {
+        (r["window_start"].minute, r["key"]): r["cnt"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # finalized windows: [12:00,12:10) a=2 — the minute-3 'a' arriving in
+    # wave 2 was ~58 min late, beyond the 20-min watermark, and is DROPPED
+    # (the count would be 3 otherwise); [12:10,12:20) b=1;
+    # [12:50,13:00) b=1 (in-watermark late data counted); [13:00,13:10)
+    # a=1 from wave 1's minute-61 event
+    assert got[(0, "a")] == 2
+    assert got[(10, "b")] == 1
+    assert got[(50, "b")] == 1
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState streaming dedup: re-delivered keys in the
+    same or a later micro-batch are dropped; the ts-minimal first-batch
+    row wins deterministically; checkpointed state enforces it across
+    separate stream runs."""
+    import datetime as dt
+
+    from aether_elasticsearch_consumer_spark.streaming.windowed import (
+        stream_dedup_first_seen,
+    )
+
+    incoming = tmp_path / "in"
+    incoming.mkdir()
+    T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = "url string, ts timestamp, body string"
+
+    def mk(*specs):
+        return [(u, T0 + dt.timedelta(seconds=s), b) for u, s, b in specs]
+
+    spark.createDataFrame(
+        mk(("u1", 5, "u1-late"), ("u1", 2, "u1-first"), ("u2", 1, "u2-first")),
+        schema,
+    ).coalesce(1).write.parquet(str(incoming / "w1"))
+    sch = spark.read.parquet(str(incoming / "w1")).schema
+
+    def run():
+        stream_dedup_first_seen(
+            spark, str(incoming / "*"), sch, str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), key_col="url", order_col="ts",
+        )
+
+    run()
+    # wave 2 re-delivers u1/u2 and introduces u3
+    spark.createDataFrame(
+        mk(("u1", 0, "u1-replay"), ("u2", 9, "u2-replay"), ("u3", 3, "u3-first")),
+        schema,
+    ).coalesce(1).write.parquet(str(incoming / "w2"))
+    run()
+    got = {
+        r["url"]: r["body"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {"u1": "u1-first", "u2": "u2-first", "u3": "u3-first"}
