@@ -1245,6 +1245,46 @@ class IndexReader:
             .agg(F.round(F.sum("score"), 9).alias("score"))
         )
 
+    def dis_max_search(
+        self,
+        clauses: list[str],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``dis_max``: rank by the BEST-matching clause instead of the
+        sum — score = max(clause scores) + tie_breaker · Σ(other clause
+        scores), the classic fix for multi-field/multi-phrasing queries
+        where summing rewards redundancy. Each clause scores through the
+        uncut OR ladder; max/sum fold in ONE hash aggregate over the
+        unioned per-clause scores (no window, no self-join); 9-dp
+        rounding ladder as everywhere."""
+        from functools import reduce
+
+        parts = [
+            self.or_scores(c).select("doc_id", "score")
+            for c in clauses
+            if tokenize_py(c, self.profile)
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        allparts = reduce(DataFrame.unionByName, parts)
+        scored = (
+            allparts.groupBy("doc_id")
+            .agg(
+                F.max("score").alias("_mx"),
+                F.sum("score").alias("_sm"),
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("_mx")
+                    + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx")),
+                    9,
+                ).alias("score"),
+            )
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_filtered(
         self, query: str, filter_docs: DataFrame, k: int = 10
     ) -> DataFrame:

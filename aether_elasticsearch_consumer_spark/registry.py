@@ -2301,6 +2301,50 @@ def fulltext_highlight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_dis_max",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len,
+             unnest({_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, len({_TOKS_SQL}) AS doc_len FROM documents),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('spark', 'window', 'join')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    per_term AS (
+      SELECT tf.doc_id, tf.term,
+             round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+      FROM tf, dft, stats WHERE tf.term = dft.term
+    ),
+    clause AS (
+      SELECT doc_id, s FROM per_term WHERE term = 'spark'
+      UNION ALL
+      SELECT doc_id, round(sum(s), 9) AS s FROM per_term
+      WHERE term IN ('window', 'join') GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(max(s) + 0.3 * (sum(s) - max(s)), 9) AS score
+    FROM clause GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``dis_max``: best-of clauses ['spark', 'window join'] with
+    tie_breaker 0.3 — score = max clause + 0.3·(others), the classic
+    multi-phrasing query where summing would reward redundancy. One
+    unioned plan + one hash aggregate; the oracle replays the full
+    clause and rounding ladder."""
+    return _reader_for(spark, sf_dir).dis_max_search(
+        ["spark", "window join"], tie_breaker=0.3, k=10
+    )
+
+
+@register(
     "fulltext_filtered_search",
     f"""
     WITH lens AS (
