@@ -1245,6 +1245,20 @@ class IndexReader:
             .agg(F.round(F.sum("score"), 9).alias("score"))
         )
 
+    def match_bool_prefix(self, text: str, k: int = 10) -> DataFrame:
+        """ES ``match_bool_prefix`` (the non-phrase autocomplete): the
+        input's terms become bool SHOULD clauses and the LAST term a
+        prefix clause — docs matching any clause, ranked by summed term
+        BM25 plus the prefix expansion's constant_score. Exactly the
+        query-string ``t1 t2 last*`` under this engine's documented
+        rewrite rules, so it routes through ``query_string_search``
+        (same plan, same ladder)."""
+        toks = tokenize_py(text, self.profile)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        q = " ".join(toks[:-1] + [toks[-1] + "*"])
+        return self.query_string_search(q, k=k)
+
     def dis_max_search(
         self,
         clauses: list[str],

@@ -2301,6 +2301,44 @@ def fulltext_highlight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_match_bool_prefix",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    tf AS (
+      SELECT doc_id, doc_len, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, doc_len, unnest(toks) AS term FROM lens
+      ) WHERE term = 'table' GROUP BY doc_id, doc_len
+    ),
+    dft AS (SELECT count(*)::BIGINT AS df FROM tf),
+    tscore AS (
+      SELECT tf.doc_id,
+             round({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'stats.N', 'stats.avgdl')}, 9) AS s
+      FROM tf, dft, stats
+    ),
+    pre AS (
+      SELECT doc_id, 1.0 AS s FROM lens
+      WHERE len(list_filter(toks, t -> t LIKE 'jo%')) > 0
+    )
+    SELECT doc_id, round(sum(s), 9) AS score
+    FROM (SELECT * FROM tscore UNION ALL SELECT * FROM pre)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_bool_prefix`` 'table jo': term clause scores BM25, the
+    trailing prefix clause contributes constant_score via dictionary
+    expansion, OR semantics — the non-phrase autocomplete, routed through
+    the query-string rewrite (``table jo*``). Oracle replays both clause
+    kinds and the sum ladder."""
+    return _reader_for(spark, sf_dir).match_bool_prefix("table jo", k=10)
+
+
+@register(
     "fulltext_dis_max",
     f"""
     WITH toks AS (
