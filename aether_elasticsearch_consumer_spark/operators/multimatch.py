@@ -1,0 +1,139 @@
+"""ES ``multi_match`` — one query string scored against several fields.
+
+Reference parity: the consumer maps every schema field into the ES index
+(/root/reference/consumer/app/index_handler.py:616-639), where ES's standard
+way to query across those fields is ``multi_match`` with per-field boosts
+(``fields: ["title^2", "body"]``).  Semantics implemented here, per the ES
+docs' definitions:
+
+- ``best_fields`` (ES default): each field scores the whole query as a
+  ``match`` (OR-sum of per-term BM25 under THAT field's statistics); the doc
+  score is the best field's score, plus ``tie_breaker`` × the sum of the
+  other fields' scores — i.e. exactly a ``dis_max`` over per-field match
+  clauses (the equivalence ES documents; the engine's dis_max lives at
+  operators/topk.py and this module folds the same max/sum ladder).
+- ``most_fields``: the doc score is the SUM of the per-field scores — the
+  "same text analyzed different ways" mode.
+
+Scoring ladder (oracle-replayable, same as every scored query here): each
+per-field score is or_scores' round(Σ round(bm25_term, 9), 9); a per-field
+boost multiplies then re-rounds to 9 dp; the cross-field combine
+(max + tie_breaker·(sum − max), or plain sum) re-rounds to 9 dp; ties break
+(score desc, doc_id asc).
+
+Scale shape: per-field scoring is the root engine's pruned
+term_bucket-partitioned read against that field's OWN sub-index (small —
+field text, not body text); the cross-field combine is ONE hash aggregate
+over the unioned (doc_id, score) streams — ids and doubles only, no
+payload.  Nothing here scans an index of another field.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.multi_field import field_index_dir, list_field_indexes
+from .topk import TOPK_SCHEMA, IndexReader
+
+VALID_MODES = ("best_fields", "most_fields")
+
+
+def parse_fields(fields: list[str]) -> dict[str, float]:
+    """ES field-list syntax: ``["title^2", "body"]`` → {"title": 2.0,
+    "body": 1.0}."""
+    out: dict[str, float] = {}
+    for f in fields:
+        name, _, boost = f.partition("^")
+        out[name] = float(boost) if boost else 1.0
+    return out
+
+
+class MultiFieldIndex:
+    """Root index (the primary analyzed-text field, conventionally named
+    ``text``) plus per-field sub-indexes under ``<root>/fields/``.
+
+    Readers open lazily and cache — a multi_match touching 2 of N fields
+    lists 2 sub-indexes' files, never all N."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        primary_field: str = "text",
+    ):
+        self.spark = spark
+        self.dir = str(index_dir)
+        self.primary_field = primary_field
+        self._readers: dict[str, IndexReader] = {}
+
+    def fields(self) -> list[str]:
+        return [self.primary_field, *list_field_indexes(self.dir)]
+
+    def reader(self, field: str) -> IndexReader:
+        rd = self._readers.get(field)
+        if rd is None:
+            d = (
+                self.dir
+                if field == self.primary_field
+                else str(field_index_dir(self.dir, field))
+            )
+            if field != self.primary_field and not (Path(d) / "stats").is_dir():
+                raise KeyError(
+                    f"no sub-index for field {field!r} under {self.dir} "
+                    f"(have: {self.fields()})"
+                )
+            rd = IndexReader(self.spark, d)
+            self._readers[field] = rd
+        return rd
+
+    def field_scores(self, field: str, query: str, boost: float = 1.0) -> DataFrame:
+        """Uncut per-field match scores: or_scores under the field's own
+        N/avgdl/df, ×boost, 9-dp ladder."""
+        s = self.reader(field).or_scores(query)
+        if boost != 1.0:
+            s = s.select(
+                "doc_id", F.round(F.col("score") * float(boost), 9).alias("score")
+            )
+        return s
+
+    def multi_match(
+        self,
+        query: str,
+        fields: dict[str, float] | list[str],
+        mode: str = "best_fields",
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        if mode not in VALID_MODES:
+            raise ValueError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+        if isinstance(fields, list):
+            fields = parse_fields(fields)
+        parts = [
+            self.field_scores(name, query, boost)
+            for name, boost in sorted(fields.items())
+        ]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        allparts = reduce(DataFrame.unionByName, parts)
+        grouped = allparts.groupBy("doc_id").agg(
+            F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+        )
+        if mode == "most_fields":
+            scored = grouped.select(
+                "doc_id", F.round(F.col("_sm"), 9).alias("score")
+            )
+        else:
+            scored = grouped.select(
+                "doc_id",
+                F.round(
+                    F.col("_mx")
+                    + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx")),
+                    9,
+                ).alias("score"),
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
