@@ -1741,32 +1741,40 @@ class IndexReader:
         )
 
     def phrase_docs(
-        self, phrase: str, with_freq: bool = False, slop: int = 0
+        self,
+        phrase: str,
+        with_freq: bool = False,
+        slop: int = 0,
+        in_order: bool = True,
     ) -> DataFrame:
         """Phrase query (ES match_phrase) off the POSITIONAL index:
         doc ids whose analyzed token stream contains the phrase's terms at
-        consecutive positions — or, with ``slop`` > 0, IN ORDER within a
-        window of ``len(terms) + slop`` tokens (total gap slack
-        p_last − p_first − (m−1) ≤ slop; slop=0 is the exact phrase).
-        Requires ``with_positions=True`` at build.
+        consecutive positions — or, with ``slop`` > 0, within a slop
+        window.  Requires ``with_positions=True`` at build.
 
-        Slop semantics are ES match_phrase slop restricted to IN-ORDER
-        matches: Lucene additionally lets slop ≥ 2 pay for reordering
-        (``"b a"`` matching ``a b``~2) — a documented deviation; the
-        in-order window is what the saved-search family needs and is
-        exactly reproducible by a SQL oracle (nested list_filter window).
-        ``phrase_freq`` = number of phrase start positions that begin a
-        valid match (Lucene instead accumulates 1/(1+matchLength);
-        deviation documented for the same oracle-exactness reason).
+        Two slop semantics, both Lucene-real (see ``_phrase_slots_docs``):
+
+        - ``in_order=True`` (default): span_near(in_order=true) — terms in
+          phrase order, total gap slack p_last − p_first − (m−1) ≤ slop.
+        - ``in_order=False``: Lucene SloppyPhraseScorer (what ES
+          match_phrase slop actually runs) — shifted-position window
+          max(p_i − i) − min(p_i − i) ≤ slop, so slop ≥ 2 pays for
+          reordering: ``"table hash"~2`` matches the transposed text
+          "hash table".  For in-order assignments the two agree.
+          Restricted to phrases without repeated terms (Lucene's repeats
+          handling is its own special case; such phrases raise).
+
+        ``phrase_freq`` = number of valid match anchors (ordered: start
+        positions; unordered: window-end elements).  Lucene instead
+        accumulates 1/(1+matchLength); deviation documented for
+        oracle-exactness.
 
         Per segment (same pruned read as ``search``): each query term's
         postings+positions decode vectorized; verification packs
-        (doc_id << POS_BITS | pos) keys. Exact matches intersect shifted
-        key sets — S ∩ (keys(t_i) − i); sloppy matches run a GREEDY
-        in-order walk (smallest next key > current per term, all starts in
-        parallel via searchsorted) — greedy minimizes the final position,
-        so it finds a valid assignment iff one exists. Both are numpy set
-        ops, never per-doc Python."""
+        (doc_id << POS_BITS | pos) keys.  Exact matches intersect shifted
+        key sets; sloppy matches run a greedy all-starts walk (ordered)
+        or a min-range cover sweep (unordered).  All numpy set ops, never
+        per-doc Python."""
         if not self.positions:
             raise ValueError(
                 "this index was built without positions "
@@ -1778,7 +1786,10 @@ class IndexReader:
         if terms_seq and len(terms_seq) == 1 and not with_freq:
             return self.match_docs(terms_seq[0], "and")
         return self._phrase_slots_docs(
-            [[t] for t in terms_seq], with_freq=with_freq, slop=slop
+            [[t] for t in terms_seq],
+            with_freq=with_freq,
+            slop=slop,
+            in_order=in_order,
         )
 
     def phrase_prefix_docs(
@@ -1824,16 +1835,39 @@ class IndexReader:
         )
 
     def _phrase_slots_docs(
-        self, slots: list[list[str]], with_freq: bool = False, slop: int = 0
+        self,
+        slots: list[list[str]],
+        with_freq: bool = False,
+        slop: int = 0,
+        in_order: bool = True,
     ) -> DataFrame:
         """The positional verifier, generalized to per-position term SETS:
         a match places, at each successive position (exact) or within the
-        slop window (greedy walk), ANY term of that position's slot.
-        ``phrase_docs`` passes singleton slots; ``phrase_prefix_docs``
-        passes the prefix expansion as the last slot. Same two-phase
-        pruned read as always: doc-id-only decode → per-slot union,
-        AND-intersect across slots → positions decode only for candidate
-        blocks → packed-key set ops."""
+        slop window, ANY term of that position's slot.  ``phrase_docs``
+        passes singleton slots; ``phrase_prefix_docs`` passes the prefix
+        expansion as the last slot.  Same two-phase pruned read as always:
+        doc-id-only decode → per-slot union, AND-intersect across slots →
+        positions decode only for candidate blocks → packed-key set ops.
+
+        ``in_order=True`` (default): span_near(in_order=true) semantics —
+        slots match at increasing positions with total gap slack
+        p_last − p_first − (m−1) ≤ slop (greedy all-starts walk; greedy
+        minimizes the final position, so it finds a valid assignment iff
+        one exists).
+
+        ``in_order=False``: Lucene SloppyPhraseScorer / ES match_phrase
+        slop semantics — an assignment of one position per slot whose
+        SHIFTED positions s_i = p_i − i satisfy max(s) − min(s) ≤ slop.
+        Reordering costs movement: ``"table hash"~2`` matches the
+        transposed text "hash table" (span 2) but not at slop < 2; for
+        in-order assignments s is monotone, so max−min equals the gap
+        slack and the two semantics agree.  Evaluated as a min-range
+        cover: a valid assignment exists iff some element x (the max) has
+        every slot represented in [x − slop, x] — one searchsorted per
+        slot over the doc-rank-rebased shifted keys, all docs at once.
+        Restricted to phrases whose slots are pairwise disjoint (distinct
+        chosen positions come free; Lucene's repeated-term handling is
+        its own special case) — repeated-term phrases raise."""
         if not self.positions:
             raise ValueError(
                 "this index was built without positions "
@@ -1842,6 +1876,15 @@ class IndexReader:
             )
         if slop < 0:
             raise ValueError(f"slop must be >= 0, got {slop}")
+        if not in_order and len(slots) > 1:
+            seen: set[str] = set()
+            for s in slots:
+                if seen.intersection(s):
+                    raise ValueError(
+                        "unordered slop requires pairwise-disjoint slots "
+                        "(repeated-term phrases: use in_order=True)"
+                    )
+                seen.update(s)
         fields = [T.StructField("doc_id", T.LongType(), False)]
         if with_freq:
             # phrase frequency = number of phrase start positions — the tf
@@ -1951,6 +1994,42 @@ class IndexReader:
                     if not len(cand):
                         break
                     cand = cand[np.isin(cand + i, ks, assume_unique=False)]
+            elif not in_order:
+                # Lucene sloppy-phrase window on SHIFTED positions.
+                # Rebase doc_id → dense rank into 42 high bits so the
+                # shifted position (+m−i bias keeps it positive, ≤ 2^20+m)
+                # fits 22 low bits with no underflow/overflow at the
+                # packed-key edges — doc_ids themselves may span 2^43.
+                m = len(seq)
+                POS2 = 22
+
+                def shifted(ks: np.ndarray, i: int) -> np.ndarray:
+                    d = ks >> POS_BITS
+                    p = ks & ((1 << POS_BITS) - 1)
+                    r = np.searchsorted(cand_docs, d).astype(np.int64)
+                    return np.sort((r << POS2) | (p + (m - i)))
+
+                A = [shifted(ks, i) for i, ks in enumerate(sks)]
+                U = np.unique(np.concatenate(A))
+                ok = np.ones(len(U), dtype=bool)
+                doc_floor = (U >> POS2) << POS2  # window never crosses docs
+                lo = np.maximum(U - slop, doc_floor)
+                for Ai in A:
+                    idx = np.searchsorted(Ai, lo, side="left")
+                    inb = idx < len(Ai)
+                    v = Ai[np.minimum(idx, max(len(Ai) - 1, 0))]
+                    ok &= inb & (v <= U)
+                valid = U[ok]
+                if not len(valid):
+                    return empty
+                ranks, freqs = np.unique(valid >> POS2, return_counts=True)
+                out = {"doc_id": cand_docs[ranks].astype(np.int64)}
+                if with_freq:
+                    # deviation (documented): freq = count of distinct
+                    # valid window-end elements, the unordered analogue
+                    # of ordered mode's count of match starts
+                    out["phrase_freq"] = freqs.astype(np.int64)
+                return pd.DataFrame(out)
             else:
                 # greedy in-order walk, all starts at once: per slot, jump
                 # to its smallest key strictly after the current one; a

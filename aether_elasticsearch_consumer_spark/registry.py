@@ -1344,7 +1344,9 @@ def fulltext_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     start positions. The oracle replays the window with a nested
     list_filter (j ranges over (i, i+1+slop]). Slop is the first thing an
     ES user reaches for when an exact phrase misses (the reference's
-    saved-search family, visualization.py:46-53)."""
+    saved-search family, visualization.py:46-53). Lucene's full
+    match_phrase semantics (slop ≥ 2 pays for reordering) is the sibling
+    ``fulltext_slop_unordered``; this entry is span_near(in_order=true)."""
     return (
         _reader_pos_for(spark, sf_dir)
         .phrase_docs("table hash", with_freq=True, slop=2)
@@ -3414,6 +3416,35 @@ def fulltext_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fulltext_slop_unordered",
+    f"""
+    SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(list_filter(range(1, len(t)+1),
+              i -> t[i] = 'table'
+                   AND len(list_filter(range(1, len(t)+1),
+                           j -> t[j] = 'hash'
+                                AND abs(i - (j - 1)) <= 2)) > 0)) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_slop_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase slop with Lucene's REAL (unordered) semantics:
+    ``"table hash"~2`` under SloppyPhraseScorer's shifted-position window
+    — an assignment p_table, p_hash with |p_table − (p_hash − 1)| ≤ 2,
+    which the transposed text "hash table" satisfies (span exactly 2) —
+    the main reason users reach for slop is word-order variance.  The
+    in-order variant stays registered as ``fulltext_phrase_slop``
+    (span_near in_order=true semantics); this entry's match set is a
+    strict superset on any corpus containing the transposition.  Oracle:
+    the existential window replayed over 1-based token positions."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .phrase_docs("table hash", slop=2, in_order=False)
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-priority ordering
 # --------------------------------------------------------------------------
@@ -3474,13 +3505,13 @@ _DRIVER_PRIORITY: list[str] = [
     # -- new in round 5 (never sampled by definition) --
     "fulltext_multi_match",
     "fulltext_multi_match_most",
+    "fulltext_slop_unordered",
     # -- proven anchors (driver-green in rounds 1-4) --
     "fulltext_bm25_topk",
     "fulltext_term_match",
     "dedup_minhash_lsh",
     "agg_terms_topn",
     "similarity_bruteforce_topk",
-    "ingest_date_coercion",
 ]
 
 
