@@ -3446,6 +3446,148 @@ def fulltext_slop_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# function_score gauss decay (round 5)
+# --------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+# ES gauss decay: factor = decay^((d/scale)^2) = exp(C * d^2) with
+# C = ln(decay)/scale^2 — one shared double constant (python repr in the
+# SQL, F.lit here) so both sides multiply the exact same IEEE values
+_GAUSS_ORIGIN = 1000
+_GAUSS_C = _math.log(0.5) / (500.0 ** 2)  # scale=500, decay=0.5, offset=0
+
+
+@register(
+    "fulltext_function_score_gauss",
+    f"""
+    WITH {_OR_SCORES_SQL}
+    SELECT p.doc_id AS doc_id,
+           round(p.s * exp({_GAUSS_C!r} *
+                 (l.n_chars - {_GAUSS_ORIGIN})::DOUBLE *
+                 (l.n_chars - {_GAUSS_ORIGIN})::DOUBLE), 9) AS score
+    FROM pos p JOIN lens l ON p.doc_id = l.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with a ``gauss`` decay (origin=1000,
+    scale=500, decay=0.5 over n_chars — "prefer medium-length docs", the
+    standard relevance-shaping companion to field_value_factor; on a
+    timestamped corpus the same shape is recency decay): factor =
+    0.5^((|n_chars−1000|/500)²) = exp(C·d²), evaluated as one shared
+    double constant times an exact integer square so the only
+    transcendental is exp itself (bit-stable JVM↔DuckDB at 9 dp like the
+    ln() inside every BM25 idf). Decay provably reorders: the factor side
+    joins onto the match set only and the 9-dp product ladder is the
+    function_score one."""
+    rd = _reader_for(spark, sf_dir)
+    d = (F.col("n_chars") - F.lit(_GAUSS_ORIGIN)).cast("double")
+    factors = _docs(spark, sf_dir).select(
+        "doc_id", F.exp(F.lit(_GAUSS_C) * d * d).alias("factor")
+    )
+    return rd.function_score_search("spark window", factors, k=10)
+
+
+# --------------------------------------------------------------------------
+# has_child / has_parent over the F5 join payload (round 5)
+# --------------------------------------------------------------------------
+
+_ORDERS_FIELDS = (
+    ("o_orderkey", "long"), ("o_custkey", "long"),
+    ("o_orderstatus", "string"), ("o_totalprice", "double"),
+    ("o_orderdate", "string"), ("o_orderpriority", "string"),
+)
+
+
+def _orders_with_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders as ES child docs of customers: the reference's _add_parent
+    payload ({name: es_type, parent: doc[field]},
+    /root/reference/consumer/app/processor.py:198-208) built by the SAME
+    ingest pipeline the F5 tests exercise — not an ad-hoc struct."""
+    from .operators.ingest import IngestPipeline
+
+    pipeline = IngestPipeline(
+        schema={
+            "name": "order",
+            "fields": [{"name": c, "type": t} for c, t in _ORDERS_FIELDS],
+        },
+        instructions={
+            "_meta": {
+                "aet_parent_field": "o_custkey",
+                "aet_join_field": "aet_join",
+            }
+        },
+        type_name="order",
+    )
+    return pipeline.apply(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+@register(
+    "rel_has_child",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      GROUP BY o_custkey HAVING count(*) >= 2
+    )
+    ORDER BY c_custkey
+    """,
+)
+def rel_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` (filter context, min_children=2): customers with
+    at least two orders over 450k, resolved through the join payload the
+    ingest pipeline attached — child predicate pushed to the child scan,
+    ids-only count aggregate, semi-join attach (operators/joinquery.py)."""
+    from .operators.joinquery import has_child
+
+    parents = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        has_child(
+            parents,
+            _orders_with_join(spark, sf_dir),
+            parent_key="c_custkey",
+            child_type="order",
+            match=F.col("o_totalprice") > 450000,
+            min_children=2,
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rel_has_parent",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def rel_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent`` (filter context): orders whose parent customer
+    sits in the BUILDING market segment — parent side filtered first,
+    children's join-payload parent pointer semi-joined against the
+    surviving id set (broadcast-sized; AQE decides)."""
+    from .operators.joinquery import has_parent
+
+    parents = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        has_parent(
+            _orders_with_join(spark, sf_dir),
+            parents,
+            parent_key="c_custkey",
+            parent_match=F.col("c_mktsegment") == "BUILDING",
+            child_type="order",
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-priority ordering
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 entries of ``queries()`` in
@@ -3506,12 +3648,12 @@ _DRIVER_PRIORITY: list[str] = [
     "fulltext_multi_match",
     "fulltext_multi_match_most",
     "fulltext_slop_unordered",
+    "rel_has_child",
+    "rel_has_parent",
+    "fulltext_function_score_gauss",
     # -- proven anchors (driver-green in rounds 1-4) --
     "fulltext_bm25_topk",
     "fulltext_term_match",
-    "dedup_minhash_lsh",
-    "agg_terms_topn",
-    "similarity_bruteforce_topk",
 ]
 
 
