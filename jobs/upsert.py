@@ -50,12 +50,24 @@ def main(argv=None):
     ap.add_argument("--docs", help="parquet of docs to upsert (url, text, …)")
     ap.add_argument("--delete-urls", help="parquet with a url column to tombstone")
     ap.add_argument("--compact", help="write a compacted (purged) index here")
+    ap.add_argument(
+        "--auto-compact", action="store_true",
+        help="after the upsert/delete (or standalone), evaluate the "
+        "compaction policy (plans/compaction.py) and, if due, rebuild the "
+        "live docs and repoint --live — the policy-driven lifecycle",
+    )
+    ap.add_argument("--health", action="store_true",
+                    help="print index health + compaction decision and exit")
+    ap.add_argument("--max-delete-ratio", type=float, default=0.2)
+    ap.add_argument("--min-segment-fill", type=float, default=0.5)
     ap.add_argument("--batch-tag", help="stable id for this batch (idempotency)")
     ap.add_argument("--work", help="work dir (default: <live>__work)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
-    if not (args.docs or args.delete_urls or args.compact):
-        ap.error("one of --docs / --delete-urls / --compact is required")
+    if not (args.docs or args.delete_urls or args.compact
+            or args.auto_compact or args.health):
+        ap.error("one of --docs / --delete-urls / --compact / "
+                 "--auto-compact / --health is required")
     if (args.docs or args.delete_urls) and not args.batch_tag:
         ap.error("--batch-tag is required for upsert/delete")
 
@@ -63,6 +75,23 @@ def main(argv=None):
     work = args.work or (args.live.rstrip("/") + "__work")
     t0 = time.time()
     out: dict = {"live": args.live}
+
+    if args.health:
+        from aether_elasticsearch_consumer_spark.plans.compaction import (
+            CompactionPolicy,
+            compaction_due,
+        )
+
+        decision = compaction_due(
+            spark, resolve_live(args.live),
+            CompactionPolicy(
+                max_delete_ratio=args.max_delete_ratio,
+                min_segment_fill=args.min_segment_fill,
+            ),
+        )
+        print(json.dumps(decision))
+        spark.stop()
+        return
 
     if args.docs:
         docs = spark.read.parquet(args.docs)
@@ -81,9 +110,32 @@ def main(argv=None):
         )
         apply_deletes(spark, base, ids)
         out["index"] = base
-    else:
+    elif args.compact:
         compact_index(spark, resolve_live(args.live), args.compact)
         out["index"] = args.compact
+    else:
+        out["index"] = resolve_live(args.live)
+
+    if args.auto_compact:
+        from aether_elasticsearch_consumer_spark.plans.compaction import (
+            CompactionPolicy,
+            maybe_compact,
+        )
+
+        res = maybe_compact(
+            spark, args.live, work,
+            CompactionPolicy(
+                max_delete_ratio=args.max_delete_ratio,
+                min_segment_fill=args.min_segment_fill,
+            ),
+            tag=args.batch_tag,
+        )
+        out["auto_compact"] = {
+            k: res[k]
+            for k in ("compacted", "reasons", "delete_ratio", "segment_fill")
+        }
+        if res["compacted"]:
+            out["index"] = res["new_index_dir"]
 
     idx = out["index"]
     st = spark.read.parquet(f"{idx}/stats/data").collect()[0]
