@@ -157,3 +157,87 @@ def test_no_global_window_in_search_phrase(spark, tmp_path_factory):
     ):
         p = _plan(df)
         assert "Window" not in p
+
+
+def test_multi_match_reads_only_queried_field_indexes(spark, tmp_path_factory):
+    """multi_match's pruning contract: per-field scans keep the
+    term_bucket PartitionFilters + pushed term filters of their OWN
+    sub-index; the input file set stays inside the root + queried-field
+    directories (never an unqueried field's postings); the cross-field
+    combine is one hash aggregate — no Window, no sort-merge join."""
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import (
+        tokenize_col,
+    )
+    from aether_elasticsearch_consumer_spark.operators.multimatch import (
+        MultiFieldIndex,
+    )
+    from aether_elasticsearch_consumer_spark.plans.multi_field import (
+        build_field_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("mmplan") / "idx")
+    IndexBuilder(spark, root, docs_per_segment=128, term_buckets=8).build(
+        webtext_df(spark, 200, partitions=4), fingerprint_extra="mmp"
+    )
+    docs = spark.read.parquet(f"{root}/docs/data")
+    for fld in ("title", "unused"):
+        build_field_index(
+            spark, root, fld,
+            docs.select(
+                "doc_id",
+                F.array_join(F.slice(tokenize_col("text"), 1, 5), " ")
+                .alias("text"),
+            ),
+            docs_per_segment=128, term_buckets=8, fingerprint_extra=fld,
+        )
+    mf = MultiFieldIndex(spark, root)
+    q = mf.multi_match(
+        "keta gera", {"title": 2.0, "text": 1.0},
+        mode="best_fields", tie_breaker=0.3, k=5,
+    )
+    plan = _plan(q)
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    # one pruned postings scan per queried field (root + title); the
+    # doclens sidecar scans legitimately carry no partition filter
+    pruned = [
+        seg for seg in plan.split("PartitionFilters")[1:]
+        if "term_bucket" in seg[:200]
+    ]
+    assert len(pruned) >= 2
+    postings_files = [f for f in q.inputFiles() if "/postings/" in f]
+    assert postings_files
+    assert all("/fields/unused/" not in f for f in postings_files)
+    assert any("/fields/title/" in f for f in postings_files)
+
+
+def test_has_child_pushes_child_filter_and_aggregates_ids_only(spark):
+    """has_child's scale contract: the child predicate reaches the child
+    parquet scan (PushedFilters), the child→parent fold is a hash
+    aggregate with a map-side partial (partial_count), and the parent
+    attach is a broadcast/hash semi-join — no nested-loop, no Window."""
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.registry import (
+        _orders_with_join,
+    )
+    from aether_elasticsearch_consumer_spark.operators.joinquery import (
+        has_child,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    parents = spark.read.parquet(f"{sf}/customer.parquet")
+    out = has_child(
+        parents, _orders_with_join(spark, sf),
+        parent_key="c_custkey", child_type="order",
+        match=F.col("o_totalprice") > 450000, min_children=2,
+    )
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("o_totalprice" in seg[:400] for seg in pushed[1:])
+    assert "partial_count" in plan  # map-side combine on the parent-id fold
+    assert "LeftSemi" in plan
