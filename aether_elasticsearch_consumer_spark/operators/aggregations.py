@@ -499,3 +499,77 @@ def auto_date_histogram_agg(
         .select(F.lit(chosen).alias("interval"), "bucket", "cnt")
         .orderBy("bucket")
     )
+
+
+def bucket_script_agg(
+    buckets: DataFrame, exprs: dict[str, Column]
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: per-bucket computed metrics from
+    the bucket's OWN sibling metrics (ratios, margins, …).  Pure Column
+    arithmetic over the already-reduced bucket table — at any scale the
+    bucket list is the small post-aggregation side, exactly ES's model
+    (pipeline aggs run on the reduced response, reference consumers drive
+    them from saved visualizations, visualization.py:46-53)."""
+    return buckets.withColumns(exprs)
+
+
+def bucket_selector_agg(buckets: DataFrame, predicate: Column) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing a predicate over
+    their metrics (the HAVING of the agg DSL)."""
+    return buckets.where(predicate)
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort_cols: list[Column],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort``: reorder/truncate the bucket list (sort +
+    from/size).  Offset pagination over the REDUCED bucket table — the
+    one place offset-limit is scale-safe because bucket counts are
+    bounded by the agg, not the corpus."""
+    out = buckets.orderBy(*sort_cols)
+    if from_:
+        # Spark has no native OFFSET on DataFrames; the bucket list is
+        # post-reduction small, so a row_number filter stays cheap
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*sort_cols)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > from_)
+            .drop("__rn")
+        )
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def sibling_max_bucket(
+    buckets: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """ES ``max_bucket`` sibling agg: the bucket key(s) holding the max
+    metric value (ties → all keys, ES returns a keys list).  One scalar
+    max via a broadcast-joined 1-row aggregate — no global sort."""
+    mx = buckets.agg(F.max(value_col).alias("__mx"))
+    return (
+        buckets.join(F.broadcast(mx))
+        .where(F.col(value_col) == F.col("__mx"))
+        .select(key_col, value_col)
+    )
+
+
+def serial_diff_agg(
+    buckets: DataFrame, key_col: str, value_col: str, lag: int = 1
+) -> DataFrame:
+    """ES ``serial_diff``: value minus the value ``lag`` buckets earlier
+    (seasonality removal; lag=7 on daily buckets = week-over-week).
+    First ``lag`` buckets yield NULL, ES semantics."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key_col)
+    return buckets.withColumn(
+        f"diff_{lag}",
+        F.round(F.col(value_col) - F.lag(value_col, lag).over(w), 4),
+    )

@@ -3588,6 +3588,125 @@ def rel_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pipeline bucket aggs: bucket_script / bucket_selector / bucket_sort /
+# max_bucket / serial_diff (round 5)
+# --------------------------------------------------------------------------
+
+_EVENT_BUCKETS_SQL = """
+    b AS (
+      SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+             round(sum(value), 4) AS sum_v,
+             count(*)::BIGINT AS n
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY bucket
+    )
+"""
+
+
+def _event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily date_histogram of events with sum+count metrics — the parent
+    aggregation every pipeline agg below operates on (ES model: pipeline
+    aggs run over the REDUCED bucket list, never the raw corpus)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_bucket_script_selector",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL}
+    SELECT bucket, sum_v, n, round(sum_v / n, 4) AS ratio
+    FROM b WHERE round(sum_v / n, 4) > 50.0
+    ORDER BY bucket
+    """,
+)
+def agg_bucket_script_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` composed: per-day
+    mean-per-event ratio computed from the bucket's sibling metrics, then
+    buckets failing ratio > 50 dropped (the HAVING of the agg DSL) —
+    operators/aggregations.py bucket_script_agg/bucket_selector_agg."""
+    from .operators.aggregations import bucket_script_agg, bucket_selector_agg
+
+    b = bucket_script_agg(
+        _event_buckets(spark, sf_dir),
+        {"ratio": F.round(F.col("sum_v") / F.col("n"), 4)},
+    )
+    return bucket_selector_agg(b, F.col("ratio") > 50.0).orderBy("bucket")
+
+
+@register(
+    "agg_bucket_sort",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL}
+    SELECT bucket, sum_v FROM b
+    ORDER BY sum_v DESC, bucket ASC LIMIT 5 OFFSET 2
+    """,
+)
+def agg_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_sort`` (sort + from/size over the parent's buckets):
+    days 3-7 by descending event-value sum, bucket-ascending tie-break —
+    offset pagination over the reduced bucket list, the one place
+    offset-limit is scale-safe."""
+    from .operators.aggregations import bucket_sort_agg
+
+    return bucket_sort_agg(
+        _event_buckets(spark, sf_dir).select("bucket", "sum_v"),
+        [F.desc("sum_v"), F.asc("bucket")],
+        size=5,
+        from_=2,
+    )
+
+
+@register(
+    "agg_max_bucket",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL}
+    SELECT bucket, sum_v FROM b
+    WHERE sum_v = (SELECT max(sum_v) FROM b)
+    """,
+)
+def agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``max_bucket`` sibling agg: the day(s) with the maximum summed
+    event value (ties → all keys, ES returns a keys list) — one scalar
+    max broadcast against the bucket list, no global sort."""
+    from .operators.aggregations import sibling_max_bucket
+
+    return sibling_max_bucket(
+        _event_buckets(spark, sf_dir), "bucket", "sum_v"
+    )
+
+
+@register(
+    "agg_serial_diff",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL}
+    SELECT bucket, sum_v,
+           round(sum_v - lag(sum_v, 7) OVER (ORDER BY bucket), 4) AS diff_7
+    FROM b ORDER BY bucket
+    """,
+)
+def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``serial_diff`` (lag=7 on daily buckets = week-over-week
+    seasonality removal): value minus the value 7 buckets earlier; the
+    first 7 buckets yield NULL, ES semantics."""
+    from .operators.aggregations import serial_diff_agg
+
+    return serial_diff_agg(
+        _event_buckets(spark, sf_dir).select("bucket", "sum_v"),
+        "bucket",
+        "sum_v",
+        lag=7,
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Driver-priority ordering
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 entries of ``queries()`` in
