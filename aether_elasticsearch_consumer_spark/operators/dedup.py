@@ -664,3 +664,58 @@ def connected_components(
             "rounds (pathological chain — raise max_iterations)"
         )
     return labels.select(F.col("id"), F.col("lbl").alias("canonical"))
+
+
+def chunk_hashes(
+    text: Column, chunk_tokens: int = 10, profile: str = "ascii"
+) -> Column:
+    """Non-overlapping ``chunk_tokens``-token chunk md5 hashes of a doc —
+    the paragraph-level unit for cross-document boilerplate detection
+    (shingles catch near-dup DOCS; chunk dedup catches repeated PASSAGES
+    inside otherwise-distinct docs: headers, footers, license blocks).
+    Trailing partial chunks are dropped (both sides of the oracle agree
+    on complete chunks only).  Token array bound as a lambda variable
+    (the shingle_hashes O(tokens²) lesson)."""
+
+    def chunks_of(ts: Column) -> Column:
+        n_full = (F.size(ts) / chunk_tokens).cast("int")
+        idx = F.when(n_full > 0, F.sequence(F.lit(0), n_full - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(ts, i * chunk_tokens + 1, chunk_tokens))
+            ),
+        )
+
+    return F.element_at(
+        F.transform(F.array(tokenize_col(text, profile)), chunks_of), 1
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    profile: str = "ascii",
+) -> DataFrame:
+    """Chunks shared by ≥2 distinct documents → (chunk_hash, n_docs).
+
+    Scale shape: tokenize+hash is map-only; the only shuffle carries
+    (16-byte hash, doc_id) pairs — never chunk text; duplicate counting
+    is one hash aggregate with map-side partial distinct (per-doc
+    array_distinct before the explode bounds a doc's contribution to one
+    row per distinct chunk).  The classic web-corpus boilerplate pass."""
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(chunk_hashes(F.col(text_col), chunk_tokens, profile))
+        ).alias("chunk_hash"),
+    )
+    return (
+        pairs.groupBy("chunk_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )

@@ -117,3 +117,46 @@ def doc_stats(df: DataFrame, text_col: str = "text", profile: str = "ascii") -> 
             "fingerprint": content_fingerprint(text_col, profile),
         }
     )
+
+
+# -- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns chosen to evaluate identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no ambiguous alternations — greedy
+# quantifier matches coincide, so regexp_replace output is byte-equal.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "phone": (
+        r"\+[0-9][0-9 ()-]{6,}[0-9]",
+        "<PHONE>",
+    ),
+}
+
+
+def scrub_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Mask common PII shapes (emails, IPv4 addresses, international
+    phone numbers) with typed placeholders — the standard scrub pass a
+    web corpus gets before training. Pure chained ``regexp_replace``
+    Columns: JVM codegen, no UDF, order fixed (email before phone so the
+    digits of a masked address never re-match). At 100 TB this is a
+    map-only pass — no shuffle, fully pushdown-friendly."""
+    col = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or ["email", "ipv4", "phone"]:
+        pat, repl = PII_PATTERNS[kind]
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII hit counts (audit surface for the scrub pass)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }

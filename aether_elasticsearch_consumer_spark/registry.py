@@ -3588,6 +3588,150 @@ def rel_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-document chunk (passage) dedup (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, (len(t) // 10)),
+          i -> md5(array_to_string(list_slice(t, i*10 + 1, (i+1)*10), ' ')))))
+        AS chunk_hash
+      FROM toks
+    )
+    SELECT chunk_hash, count(*)::BIGINT AS n_docs
+    FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
+    ORDER BY chunk_hash
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate detection: non-overlapping 10-token
+    chunks shared by ≥2 documents (headers/footers/license blocks — the
+    dedup pass that catches repeated PASSAGES inside otherwise-distinct
+    docs, complementing doc-level MinHash/SimHash). Map-only hash, one
+    (16-byte hash, id) shuffle, map-side-partial count
+    (operators/dedup.py chunk_dedup); per-doc array_distinct bounds each
+    doc to one row per distinct chunk before the explode."""
+    from .operators.dedup import chunk_dedup
+
+    return chunk_dedup(
+        _docs(spark, sf_dir), chunk_tokens=10
+    ).orderBy("chunk_hash")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             concat_ws(' ', text,
+               source || '_user@mail-' || lang || '.example.org',
+               '+1 (202) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+               '10.0.' || (doc_id % 256)::VARCHAR || '.'
+                       || (n_chars % 256)::VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_md5,
+           len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(raw,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4
+    FROM pii ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: mask emails / IPv4 / phone numbers with
+    typed placeholders (operators/textstats.py scrub_pii — chained JVM
+    regexp_replace, map-only at any scale) plus per-kind audit counts.
+    The corpus text is PII-free synthetic vocab, so each doc gains a
+    deterministic PII suffix built from its own columns IDENTICALLY on
+    both sides; the oracle replays the same replace chain (ipv4 before
+    phone so the greedy phone class never swallows an address head) and
+    compares the md5 of the scrubbed text byte-for-byte — Java regex and
+    RE2 agree on these alternation-free greedy patterns."""
+    from .operators.textstats import pii_counts, scrub_pii
+
+    raw = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.col("source"), F.lit("_user@mail-"), F.col("lang"),
+                 F.lit(".example.org")),
+        F.concat(F.lit("+1 (202) 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+                 F.lit("."), (F.col("n_chars") % 256).cast("string")),
+    )
+    counts = pii_counts(raw)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.md5(scrub_pii(raw)).alias("scrub_md5"),
+            counts["n_email"].cast("long").alias("n_email"),
+            counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# rank_feature query (round 5)
+# --------------------------------------------------------------------------
+
+_RF_PIVOT = 800.0  # ES default pivot = field mean-ish; fixed for the oracle
+_RF_BOOST = 2.0
+
+
+@register(
+    "fulltext_rank_feature",
+    f"""
+    WITH {_OR_SCORES_SQL}
+    SELECT p.doc_id AS doc_id,
+           round(p.s + round({_RF_BOOST} * l.n_chars::DOUBLE
+                 / (l.n_chars::DOUBLE + {_RF_PIVOT}), 9), 9) AS score
+    FROM pos p JOIN lens l ON p.doc_id = l.doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` query (saturation function, the default):
+    contributes boost · x/(x + pivot) for a numeric feature field
+    (n_chars; pivot=800, boost=2) SUMMED with the text clauses in a bool
+    should — the static-quality-signal pattern (pagerank, freshness).
+    Pure double arithmetic (no transcendental), 9-dp component + re-round
+    ladder like every should group."""
+    rd = _reader_for(spark, sf_dir)
+    x = F.col("n_chars").cast("double")
+    feature = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.lit(_RF_BOOST) * x / (x + F.lit(_RF_PIVOT)), 9).alias("rf"),
+    )
+    scored = (
+        rd.or_scores("spark window")
+        .join(feature, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("score") + F.coalesce(F.col("rf"), F.lit(0.0)), 9)
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# --------------------------------------------------------------------------
 # Pipeline bucket aggs: bucket_script / bucket_selector / bucket_sort /
 # max_bucket / serial_diff (round 5)
 # --------------------------------------------------------------------------
