@@ -1834,12 +1834,39 @@ class IndexReader:
             slop=slop,
         )
 
+    def span_near_docs(
+        self,
+        terms: list[str] | str,
+        slop: int = 0,
+        in_order: bool = True,
+        with_freq: bool = False,
+    ) -> DataFrame:
+        """Lucene ``SpanNearQuery`` over single-term clauses (ES
+        span_near).  ``in_order=True``: clauses at increasing positions
+        with total gap slack ≤ slop — exactly the ordered sloppy-phrase
+        window, shared path.  ``in_order=False``: clauses anywhere within
+        a span of ``slop`` unmatched positions — RAW-position window
+        max(p) − min(p) ≤ slop + m − 1 (spans don't shift by clause
+        offset, unlike match_phrase slop: ``span_near(a b, slop=0,
+        in_order=false)`` matches the adjacent transposition "b a", which
+        ``"a b"~0`` never does).  Same min-range cover sweep, disjoint
+        clauses required when unordered."""
+        seq = tokenize_py(terms, self.profile) if isinstance(terms, str) else list(terms)
+        return self._phrase_slots_docs(
+            [[t] for t in seq],
+            with_freq=with_freq,
+            slop=slop,
+            in_order=in_order,
+            span_window=not in_order,
+        )
+
     def _phrase_slots_docs(
         self,
         slots: list[list[str]],
         with_freq: bool = False,
         slop: int = 0,
         in_order: bool = True,
+        span_window: bool = False,
     ) -> DataFrame:
         """The positional verifier, generalized to per-position term SETS:
         a match places, at each successive position (exact) or within the
@@ -1988,32 +2015,41 @@ class IndexReader:
             if any(not len(k) for k in sks):
                 return empty
             starts = sks[0]
-            if slop == 0:
+            # slop=0 is the exact phrase in BOTH phrase modes (an
+            # unordered shifted window of span 0 forces consecutive
+            # in-order positions) — but NOT for span_near, whose raw
+            # window is m−1 wide even at slop=0
+            if slop == 0 and not span_window:
                 cand = starts
                 for i, ks in enumerate(sks[1:], start=1):
                     if not len(cand):
                         break
                     cand = cand[np.isin(cand + i, ks, assume_unique=False)]
             elif not in_order:
-                # Lucene sloppy-phrase window on SHIFTED positions.
-                # Rebase doc_id → dense rank into 42 high bits so the
-                # shifted position (+m−i bias keeps it positive, ≤ 2^20+m)
+                # Unordered window sweep.  span_window=False: Lucene
+                # sloppy-phrase on SHIFTED positions (p_i − i, window
+                # span ≤ slop).  span_window=True: SpanNearQuery on RAW
+                # positions (window span ≤ slop + m − 1 — spans don't
+                # shift by clause offset).  Rebase doc_id → dense rank
+                # into 42 high bits so the (possibly biased) position
                 # fits 22 low bits with no underflow/overflow at the
                 # packed-key edges — doc_ids themselves may span 2^43.
                 m = len(seq)
                 POS2 = 22
+                W = (slop + m - 1) if span_window else slop
 
                 def shifted(ks: np.ndarray, i: int) -> np.ndarray:
                     d = ks >> POS_BITS
                     p = ks & ((1 << POS_BITS) - 1)
                     r = np.searchsorted(cand_docs, d).astype(np.int64)
-                    return np.sort((r << POS2) | (p + (m - i)))
+                    bias = 0 if span_window else (m - i)
+                    return np.sort((r << POS2) | (p + bias))
 
                 A = [shifted(ks, i) for i, ks in enumerate(sks)]
                 U = np.unique(np.concatenate(A))
                 ok = np.ones(len(U), dtype=bool)
                 doc_floor = (U >> POS2) << POS2  # window never crosses docs
-                lo = np.maximum(U - slop, doc_floor)
+                lo = np.maximum(U - W, doc_floor)
                 for Ai in A:
                     idx = np.searchsorted(Ai, lo, side="left")
                     inb = idx < len(Ai)

@@ -3417,6 +3417,32 @@ def fulltext_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_span_near",
+    f"""
+    SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(list_filter(range(1, len(t)+1),
+              i -> t[i] = 'window'
+                   AND len(list_filter(range(greatest(1, i-4), least(len(t), i+4)+1),
+                           j -> t[j] = 'hash')) > 0)) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``span_near`` (clauses [window, hash], slop=3,
+    in_order=false): both terms within a span of ≤ 3 unmatched positions
+    in EITHER order — raw-position window |p_window − p_hash| ≤ slop+m−1
+    = 4 (span semantics don't shift by clause offset, unlike match_phrase
+    slop — the sibling ``fulltext_slop_unordered``). Same pruned
+    positional read + min-range cover sweep
+    (operators/topk.py span_near_docs)."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .span_near_docs(["window", "hash"], slop=3, in_order=False)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "fulltext_slop_unordered",
     f"""
     SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)

@@ -146,3 +146,75 @@ def test_repeated_terms_raise(uidx):
         rd.phrase_docs("keta gera keta", slop=2, in_order=False)
     # ordered path still serves repeated-term phrases
     rd.phrase_docs("keta gera keta", slop=2, in_order=True).collect()
+
+
+def py_span_near(toks, terms, slop):
+    """Exhaustive raw-position span_near (unordered): distinct positions,
+    max − min <= slop + m − 1."""
+    pos = {t: [p for p, w in enumerate(toks) if w == t] for t in terms}
+    if any(not v for v in pos.values()):
+        return False
+    m = len(terms)
+    for assign in product(*(pos[t] for t in terms)):
+        if len(set(assign)) != len(assign):
+            continue
+        if max(assign) - min(assign) <= slop + m - 1:
+            return True
+    return False
+
+
+def test_span_near_unordered_matches_exhaustive(uidx):
+    rd, docs = uidx
+    rng = random.Random(7)
+    toks_by_doc = {d: tokenize_py(t) for d, t in docs}
+    doc_ids = sorted(toks_by_doc)
+    checked = 0
+    for _ in range(8):
+        ts0 = toks_by_doc[rng.choice(doc_ids)]
+        m = rng.choice([2, 3])
+        slop = rng.choice([0, 1, 3])
+        start = rng.randrange(max(1, len(ts0) - (m + slop)))
+        window = list(dict.fromkeys(ts0[start : start + m + slop]))
+        if len(window) < m:
+            continue
+        terms = rng.sample(window, m)
+        got = {
+            r["doc_id"]
+            for r in rd.span_near_docs(terms, slop=slop, in_order=False).collect()
+        }
+        want = {
+            d for d, ts in toks_by_doc.items() if py_span_near(ts, terms, slop)
+        }
+        assert got == want, (terms, slop)
+        checked += len(want)
+    assert checked >= 5
+
+
+def test_span_near_vs_phrase_slop_semantics(spark, tmp_path_factory):
+    """span_near slop=0 unordered matches the adjacent transposition;
+    match_phrase slop=0 never does (the defining difference)."""
+    root = tmp_path_factory.mktemp("spansem")
+    rows = [(0, "alpha beta x"), (1, "beta alpha x"), (2, "alpha x beta")]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    from aether_elasticsearch_consumer_spark.plans.index_build import (
+        IndexBuilder as IB,
+    )
+
+    IB(spark, str(root / "i"), docs_per_segment=8, term_buckets=4,
+       id_col="doc_id", with_positions=True).build(src, fingerprint_extra="sn")
+    rd = IndexReader(spark, str(root / "i"))
+    near0 = {
+        r["doc_id"]
+        for r in rd.span_near_docs(["alpha", "beta"], 0, in_order=False).collect()
+    }
+    assert near0 == {0, 1}  # transposition allowed, gap not
+    phrase0 = {
+        r["doc_id"] for r in rd.phrase_docs("alpha beta", slop=0).collect()
+    }
+    assert phrase0 == {0}
+    # ordered span_near == ordered sloppy window
+    nearo = {
+        r["doc_id"]
+        for r in rd.span_near_docs(["alpha", "beta"], 1, in_order=True).collect()
+    }
+    assert nearo == {0, 2}
