@@ -50,6 +50,12 @@ def main(argv=None):
         help="also build the deletion-neighborhood sidecar for banded "
              "fuzzy/suggest expansion (plans/fuzzy_index.py)",
     )
+    ap.add_argument(
+        "--field", action="append", default=[], metavar="NAME",
+        help="also build a per-field sub-index under <index>/fields/NAME "
+             "(enables multi_match; repeatable). Supported: url (tokenized "
+             "URL), title (first 8 tokens of the text)",
+    )
     args = ap.parse_args(argv)
     if not args.source and not args.synthetic:
         ap.error("need --source or --synthetic")
@@ -96,6 +102,38 @@ def main(argv=None):
             spark, args.index_dir, max_edits=args.fuzzy_sidecar,
             force=args.force,
         )
+    if args.field:
+        from aether_elasticsearch_consumer_spark.functions.tokenizer import (
+            tokenize_col,
+        )
+        from aether_elasticsearch_consumer_spark.plans.multi_field import (
+            build_field_index,
+        )
+
+        docs = spark.read.parquet(f"{args.index_dir}/docs/data")
+        field_exprs = {
+            "url": F.col("url"),
+            "title": F.array_join(
+                F.slice(tokenize_col("text", args.profile), 1, 8), " "
+            ),
+        }
+        for fld in args.field:
+            if fld not in field_exprs:
+                ap.error(f"--field {fld}: supported fields are "
+                         f"{sorted(field_exprs)}")
+            tf = time.time()
+            build_field_index(
+                spark, args.index_dir, fld,
+                docs.select("doc_id", field_exprs[fld].alias("text")),
+                docs_per_segment=args.docs_per_segment,
+                term_buckets=args.term_buckets,
+                profile=args.profile,
+                fingerprint_extra=fp,
+                force=args.force,
+            )
+            manifests[f"field:{fld}"] = {
+                "elapsed_sec": round(time.time() - tf, 3)
+            }
     elapsed = time.time() - t0
     n = manifests["stats"].get("N")
     print(

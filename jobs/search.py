@@ -35,13 +35,37 @@ def main(argv=None):
              '(phrases, ~slop, ^boosts, +/-, AND/OR/NOT, wildcards) and '
              "rank with query_string_search",
     )
+    ap.add_argument(
+        "--multi-match", metavar="FIELDS",
+        help='comma-separated field list with optional ^boosts, ES style '
+             '(e.g. "title^2,text") — requires per-field sub-indexes '
+             "(build_index.py --field); ranks with multi_match",
+    )
+    ap.add_argument(
+        "--mm-type", default="best_fields",
+        choices=["best_fields", "most_fields"],
+    )
+    ap.add_argument("--tie-breaker", type=float, default=0.0)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark("search", cores=args.cores)
     reader = IndexReader(spark, args.index_dir)
     t0 = time.time()
-    if args.query_string:
+    if args.multi_match:
+        from aether_elasticsearch_consumer_spark.operators.multimatch import (
+            MultiFieldIndex,
+        )
+
+        mf = MultiFieldIndex(spark, str(reader.dir))
+        hits = mf.multi_match(
+            args.query,
+            args.multi_match.split(","),
+            mode=args.mm_type,
+            tie_breaker=args.tie_breaker,
+            k=args.k,
+        )
+    elif args.query_string:
         hits = reader.query_string_search(args.query, k=args.k)
     else:
         hits = reader.search(args.query, k=args.k)
