@@ -36,6 +36,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tokenizer import tokenize_py
 from ..plans.multi_field import field_index_dir, list_field_indexes
 from .topk import TOPK_SCHEMA, IndexReader
 
@@ -136,4 +137,100 @@ class MultiFieldIndex:
                     9,
                 ).alias("score"),
             )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def combined_fields(
+        self,
+        query: str,
+        fields: dict[str, float] | list[str],
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``combined_fields`` — BM25F's "simple" weighted variant
+        (the principled alternative to best/most_fields the ES docs
+        describe, per Robertson/Zaragoza/Taylor's simple BM25F): term
+        frequencies BLEND across fields BEFORE length normalization
+        instead of scoring each field separately:
+
+            tf*(d,t) = Σ_f w_f · tf_f(d,t)
+            dl*(d)   = Σ_f w_f · dl_f(d)
+            avgdl*   = Σ_f w_f · avgdl_f
+            df*(t)   = |{d : t in ANY queried field of d}|
+            score(d) = Σ_t round(idf(df*) · tf*/(tf* + k1·(1−b+b·dl*/avgdl*)), 9)
+
+        summed per doc and re-rounded (the standard ladder).  All sums
+        over fields run in sorted field-name order (two-field sums are
+        order-exact in IEEE anyway; documented for determinism beyond 2).
+
+        Scale shape: per-field (doc_id, term, tf) comes off the pruned
+        postings read (``term_freqs``); dl* joins each field's
+        doc_id-sorted docs sidecar against the candidate set only
+        (row-group-pruned point lookups); df* and the blend are hash
+        aggregates over candidate-sized id/term/double rows."""
+        from .. import B as BM25_B
+        from .. import K1
+
+        if isinstance(fields, list):
+            fields = parse_fields(fields)
+        items = sorted(fields.items())
+        terms = sorted(
+            set(tokenize_py(query, self.reader(items[0][0]).profile))
+        )
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        parts = [
+            self.reader(name)
+            .term_freqs(terms)
+            .select(
+                "doc_id", "term",
+                (F.col("tf").cast("double") * F.lit(float(w))).alias("wtf"),
+            )
+            for name, w in items
+        ]
+        ptf = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("doc_id", "term")
+            .agg(F.sum("wtf").alias("wtf"))
+        )
+        dft = ptf.groupBy("term").agg(F.count("*").alias("df"))
+        cand = ptf.select("doc_id").distinct()
+        dl_parts = []
+        avgdl_star = 0.0
+        N = self.reader(items[0][0]).N
+        for name, w in items:
+            rd = self.reader(name)
+            avgdl_star += float(w) * rd.avgdl
+            docs = self.spark.read.parquet(str(Path(rd.dir) / "docs/data"))
+            dl_parts.append(
+                docs.join(F.broadcast(cand), "doc_id", "left_semi").select(
+                    "doc_id",
+                    (F.col("doc_len").cast("double") * F.lit(float(w))).alias(
+                        "wdl"
+                    ),
+                )
+            )
+        dls = (
+            reduce(DataFrame.unionByName, dl_parts)
+            .groupBy("doc_id")
+            .agg(F.sum("wdl").alias("wdl"))
+        )
+        from ..functions.bm25 import bm25_cols
+
+        per_term = (
+            ptf.join(F.broadcast(dft), "term")
+            .join(dls, "doc_id")
+            .select(
+                "doc_id",
+                F.round(
+                    bm25_cols(
+                        F.col("wtf"), F.col("df").cast("double"),
+                        F.col("wdl"), F.lit(N).cast("double"),
+                        F.lit(float(avgdl_star)), k1=K1, b=BM25_B,
+                    ),
+                    9,
+                ).alias("s"),
+            )
+        )
+        scored = per_term.groupBy("doc_id").agg(
+            F.round(F.sum("s"), 9).alias("score")
+        )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -767,6 +767,65 @@ class IndexReader:
             )
         )
 
+    def term_freqs(self, terms: list[str]) -> DataFrame:
+        """(doc_id, term, tf) triples off one pruned postings pass — the
+        ``_docs_term_pairs`` primitive widened with term frequency; feeds
+        cross-field pseudo-frequency scoring (combined_fields/BM25F),
+        where tf must BLEND across fields before normalization instead of
+        scoring per-field."""
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("term", T.StringType(), False),
+                T.StructField("tf", T.LongType(), False),
+            ]
+        )
+        terms = sorted(set(terms))
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        buckets = self._buckets_for(terms)
+        postings = self._postings.where(
+            F.col("term_bucket").isin(list(set(buckets.values())))
+            & F.col("term").isin(terms)
+        )
+
+        def collect_tfs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_out: list[np.ndarray] = []
+            tfs_out: list[np.ndarray] = []
+            terms_out: list[np.ndarray] = []
+            for t, grp in pdf.groupby("term", sort=True):
+                blocks = [
+                    {"first_doc_id": int(f), "count": int(c),
+                     "doc_deltas": dd, "tfs": tf}
+                    for f, c, dd, tf in zip(
+                        grp["first_doc_id"], grp["count"],
+                        grp["doc_deltas"], grp["tfs"],
+                    )
+                ]
+                ids, tfs_ = _decode_blocks_batch(blocks)
+                ids_out.append(ids)
+                tfs_out.append(tfs_)
+                terms_out.append(np.full(len(ids), t, dtype=object))
+            if not ids_out:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"),
+                     "term": pd.Series(dtype="object"),
+                     "tf": pd.Series(dtype="int64")}
+                )
+            return pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_out).astype(np.int64),
+                    "term": np.concatenate(terms_out),
+                    "tf": np.concatenate(tfs_out).astype(np.int64),
+                }
+            )
+
+        return self._strip_deleted(
+            postings.groupBy("segment_id").applyInPandas(
+                collect_tfs, out_schema
+            )
+        )
+
     def bool_docs(
         self,
         must: list[str] | None = None,

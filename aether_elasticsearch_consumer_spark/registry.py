@@ -3398,6 +3398,58 @@ def fulltext_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_combined_fields",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             list_slice({_TOKS_SQL}, 1, {_TITLE_LEN}) AS ttoks
+      FROM documents
+    ),
+    tx AS (SELECT doc_id, unnest(toks) AS term FROM base),
+    ti AS (SELECT doc_id, unnest(ttoks) AS term FROM base),
+    pairs AS (
+      SELECT doc_id, term, 1.0 * count(*) AS wtf FROM tx
+      WHERE term IN {_MM_TERMS} GROUP BY doc_id, term
+      UNION ALL
+      SELECT doc_id, term, 2.0 * count(*) AS wtf FROM ti
+      WHERE term IN {_MM_TERMS} GROUP BY doc_id, term
+    ),
+    ptf AS (SELECT doc_id, term, sum(wtf) AS wtf FROM pairs
+            GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM ptf GROUP BY term),
+    st AS (SELECT count(*)::BIGINT AS N,
+                  1.0 * avg(len(toks)) + 2.0 * avg(len(ttoks)) AS avgdl
+           FROM base),
+    dls AS (SELECT doc_id, 1.0 * len(toks) + 2.0 * len(ttoks) AS wdl
+            FROM base),
+    per AS (
+      SELECT ptf.doc_id,
+             round({bm25_duckdb_sql('ptf.wtf', 'dft.df', 'dls.wdl', 'st.N', 'st.avgdl')}, 9) AS s
+      FROM ptf, dft, st, dls
+      WHERE ptf.term = dft.term AND ptf.doc_id = dls.doc_id
+    )
+    SELECT doc_id, round(sum(s), 9) AS score FROM per GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``combined_fields`` (BM25F simple variant, the principled
+    cross-field query ES added alongside multi_match): term frequencies
+    and doc lengths BLEND across fields with weights BEFORE length
+    normalization — tf* = Σ w_f·tf_f, dl* = Σ w_f·dl_f, avgdl* =
+    Σ w_f·avgdl_f, df* = docs containing the term in ANY queried field —
+    then one BM25 per (doc, term) over the pseudo-field, 9-dp ladder.
+    Same fields/boosts as ``fulltext_multi_match`` (title^2, text), so
+    the three cross-field semantics are directly comparable on one
+    corpus.  Engine: pruned per-field (doc_id,term,tf) reads
+    (``IndexReader.term_freqs``), candidate-only docs-sidecar dl joins,
+    hash-aggregate blend (operators/multimatch.py combined_fields)."""
+    return _mf_for(spark, sf_dir).combined_fields(
+        _Q1, {"title": 2.0, "text": 1.0}, k=10
+    )
+
+
+@register(
     "fulltext_multi_match_most",
     f"""
     WITH {_mm_field_ctes()}

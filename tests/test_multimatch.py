@@ -119,3 +119,60 @@ def test_boost_reorders_toward_boosted_field(mfidx):
 def test_bad_mode_raises(mfidx):
     with pytest.raises(ValueError):
         mfidx.multi_match(Q, {"text": 1.0}, mode="cross_fields")
+
+
+def test_combined_fields_replays_bm25f(mfidx):
+    """combined_fields == python BM25F-simple over per-field tf/dl
+    collected straight from the engine's primitives."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x: float) -> float:
+        # Spark F.round is HALF_UP on the shortest-repr decimal; python
+        # round() is half-even (the documented replay trap)
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    from aether_elasticsearch_consumer_spark import B, K1
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    fields = {"title": 2.0, "text": 1.0}
+    terms = sorted(set(tokenize_py(Q)))
+    tf = {}   # (doc, term) -> blended tf
+    dl = {}   # doc -> blended dl (all docs)
+    avgdl = 0.0
+    N = mfidx.reader("text").N
+    for name, w in sorted(fields.items()):
+        rd = mfidx.reader(name)
+        avgdl += w * rd.avgdl
+        for r in rd.term_freqs(terms).collect():
+            k_ = (r["doc_id"], r["term"])
+            tf[k_] = tf.get(k_, 0.0) + w * r["tf"]
+        for r in (
+            rd.spark.read.parquet(f"{rd.dir}/docs/data")
+            .select("doc_id", "doc_len").collect()
+        ):
+            dl[r["doc_id"]] = dl.get(r["doc_id"], 0.0) + w * r["doc_len"]
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for (d, t), v in tf.items():
+        idf = math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+        s = r9(idf * v / (v + K1 * (1 - B + B * dl[d] / avgdl)))
+        scores[d] = scores.get(d, 0.0) + s
+    want = sorted(
+        ((d, r9(s)) for d, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in mfidx.combined_fields(Q, fields, k=10).collect()
+    ]
+    assert [(d, pytest.approx(s, abs=2e-9)) for d, s in want] == got
+    # blended scores are a genuinely different quantity than dis_max
+    best = _rows(mfidx.multi_match(Q, fields, k=10))
+    assert any(
+        d in best and abs(best[d] - s) > 1e-9 for d, s in got
+    ) or len(got) < 2
