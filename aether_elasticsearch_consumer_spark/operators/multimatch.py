@@ -139,6 +139,93 @@ class MultiFieldIndex:
             )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def cross_fields(
+        self,
+        query: str,
+        fields: dict[str, float] | list[str],
+        k: int = 10,
+        tie_breaker: float = 0.0,
+    ) -> DataFrame:
+        """ES ``multi_match`` type=cross_fields — TERM-centric blending
+        (the "first-name/last-name split across fields" query): each term
+        is scored in every field under a BLENDED document frequency
+        df_blend(t) = max_f df_f(t) (the Lucene BlendedTermQuery
+        max-frequency rewrite cross_fields is built on — evens out idf so
+        a term rare in one field can't dominate), per-field boosts
+        multiply tf-side inputs' scores; per term the doc takes the BEST
+        field's score (+ tie_breaker × the rest), and the per-term
+        winners sum per doc.  Ladder: per (doc,term,field) round 9 →
+        per-term combine round 9 → per-doc sum round 9.
+
+        Scale shape: pruned per-field (doc_id, term, tf) reads, dl from
+        each field's doc_id-sorted docs sidecar joined candidate-side,
+        df_blend is a per-query-term scalar map broadcast into the plan;
+        combines are hash aggregates over candidate-sized rows."""
+        from .. import B as BM25_B
+        from .. import K1
+        from ..functions.bm25 import bm25_cols
+
+        if isinstance(fields, list):
+            fields = parse_fields(fields)
+        items = sorted(fields.items())
+        terms = sorted(
+            set(tokenize_py(query, self.reader(items[0][0]).profile))
+        )
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        dfb: dict[str, int] = {}
+        for name, _ in items:
+            for t, d in self.reader(name).term_dfs(terms).items():
+                dfb[t] = max(dfb.get(t, 0), d)
+        dfb = {t: d for t, d in dfb.items() if d > 0}
+        if not dfb:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        df_map = self.spark.createDataFrame(
+            [(t, d) for t, d in sorted(dfb.items())], "term string, dfb long"
+        )
+        N = self.reader(items[0][0]).N
+        parts = []
+        for name, w in items:
+            rd = self.reader(name)
+            dl = self.spark.read.parquet(str(Path(rd.dir) / "docs/data")).select(
+                "doc_id", "doc_len"
+            )
+            s = (
+                rd.term_freqs(list(dfb))
+                .join(F.broadcast(df_map), "term")
+                .join(dl, "doc_id")
+                .select(
+                    "doc_id", "term",
+                    F.round(
+                        bm25_cols(
+                            F.col("tf"), F.col("dfb").cast("double"),
+                            F.col("doc_len"), F.lit(N).cast("double"),
+                            F.lit(float(rd.avgdl)), k1=K1, b=BM25_B,
+                        )
+                        * F.lit(float(w)),
+                        9,
+                    ).alias("s"),
+                )
+            )
+            parts.append(s)
+        per_term = (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("doc_id", "term")
+            .agg(F.max("s").alias("_mx"), F.sum("s").alias("_sm"))
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("_mx")
+                    + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx")),
+                    9,
+                ).alias("s"),
+            )
+        )
+        scored = per_term.groupBy("doc_id").agg(
+            F.round(F.sum("s"), 9).alias("score")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def combined_fields(
         self,
         query: str,

@@ -3398,6 +3398,67 @@ def fulltext_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fulltext_cross_fields",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             list_slice({_TOKS_SQL}, 1, {_TITLE_LEN}) AS ttoks
+      FROM documents
+    ),
+    tx AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+    ti AS (SELECT doc_id, len(ttoks) AS dl, unnest(ttoks) AS term FROM base),
+    tx_tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM tx
+      WHERE term IN {_MM_TERMS} GROUP BY doc_id, dl, term
+    ),
+    ti_tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM ti
+      WHERE term IN {_MM_TERMS} GROUP BY doc_id, dl, term
+    ),
+    dfb AS (
+      SELECT term, max(df) AS dfb FROM (
+        SELECT term, count(*)::BIGINT AS df FROM tx_tf GROUP BY term
+        UNION ALL
+        SELECT term, count(*)::BIGINT AS df FROM ti_tf GROUP BY term
+      ) GROUP BY term
+    ),
+    st AS (SELECT count(*)::BIGINT AS N, avg(len(toks)) AS a_text,
+                  avg(len(ttoks)) AS a_title FROM base),
+    sx AS (
+      SELECT tf.doc_id, tf.term,
+             round({bm25_duckdb_sql('tf.tf', 'dfb.dfb', 'tf.dl', 'st.N', 'st.a_text')} * 1.0, 9) AS s
+      FROM tx_tf tf, dfb, st WHERE tf.term = dfb.term
+    ),
+    si AS (
+      SELECT tf.doc_id, tf.term,
+             round({bm25_duckdb_sql('tf.tf', 'dfb.dfb', 'tf.dl', 'st.N', 'st.a_title')} * 2.0, 9) AS s
+      FROM ti_tf tf, dfb, st WHERE tf.term = dfb.term
+    ),
+    pert AS (
+      SELECT doc_id, term, round(max(s), 9) AS s
+      FROM (SELECT * FROM sx UNION ALL SELECT * FROM si)
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id, round(sum(s), 9) AS score FROM pert GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` type=cross_fields (term-centric blending, the
+    Lucene BlendedTermQuery max-df rewrite): each term scores in every
+    field under df_blend = max_f df_f — idf evened out so a term rare in
+    one field can't dominate — per-field boosts multiply, the best field
+    wins per term, per-term winners sum per doc.  Completes the
+    cross-field semantics family: best_fields / most_fields (per-field
+    dis_max/sum), combined_fields (BM25F blended pseudo-field), and
+    cross_fields (blended statistics) all on the same title^2/text pair
+    (operators/multimatch.py cross_fields)."""
+    return _mf_for(spark, sf_dir).cross_fields(
+        _Q1, {"title": 2.0, "text": 1.0}, k=10
+    )
+
+
+@register(
     "fulltext_combined_fields",
     f"""
     WITH base AS (

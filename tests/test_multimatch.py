@@ -176,3 +176,54 @@ def test_combined_fields_replays_bm25f(mfidx):
     assert any(
         d in best and abs(best[d] - s) > 1e-9 for d, s in got
     ) or len(got) < 2
+
+
+def test_cross_fields_replays_blended_df(mfidx):
+    """cross_fields == python replay: per-term max-field BM25 under the
+    blended (max over fields) document frequency."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    from aether_elasticsearch_consumer_spark import B, K1
+    from aether_elasticsearch_consumer_spark.functions.tokenizer import (
+        tokenize_py,
+    )
+
+    fields = {"title": 2.0, "text": 1.0}
+    terms = sorted(set(tokenize_py(Q)))
+    N = mfidx.reader("text").N
+    dfb = {}
+    for name in fields:
+        for t, d in mfidx.reader(name).term_dfs(terms).items():
+            dfb[t] = max(dfb.get(t, 0), d)
+    per_term = {}
+    for name, w in sorted(fields.items()):
+        rd = mfidx.reader(name)
+        dl = {
+            r["doc_id"]: r["doc_len"]
+            for r in rd.spark.read.parquet(f"{rd.dir}/docs/data")
+            .select("doc_id", "doc_len").collect()
+        }
+        for r in rd.term_freqs(terms).collect():
+            d, t, tfv = r["doc_id"], r["term"], r["tf"]
+            idf = math.log(1.0 + (N - dfb[t] + 0.5) / (dfb[t] + 0.5))
+            s = r9(
+                idf * tfv / (tfv + K1 * (1 - B + B * dl[d] / rd.avgdl)) * w
+            )
+            key = (d, t)
+            per_term[key] = max(per_term.get(key, float("-inf")), s)
+    scores = {}
+    for (d, _), s in per_term.items():
+        scores[d] = scores.get(d, 0.0) + r9(s)
+    want = sorted(
+        ((d, r9(s)) for d, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in mfidx.cross_fields(Q, fields, k=10).collect()
+    ]
+    assert [(d, pytest.approx(s, abs=2e-9)) for d, s in want] == got
