@@ -573,3 +573,69 @@ def serial_diff_agg(
         f"diff_{lag}",
         F.round(F.col(value_col) - F.lag(value_col, lag).over(w), 4),
     )
+
+
+def geotile_grid_agg(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    precision: int = 4,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``geotile_grid``: bucket points into web-mercator z/x/y map
+    tiles (the slippy-map scheme every tile server uses; the sibling of
+    geohash_grid already implemented).  x = ⌊(lon+180)/360·2^z⌋,
+    y = ⌊(1 − ln(tan φ + sec φ)/π)/2·2^z⌋, clamped to the grid (poles sit
+    outside mercator's ±85.05° validity; ES clamps the same way).  Pure
+    Column math → one hash aggregate; top ``size`` tiles by count, key
+    tie-break."""
+    import math
+
+    n = 1 << precision
+    latr = F.radians(F.col(lat))
+    x = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    y = F.floor(
+        (F.lit(1.0)
+         - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(math.pi))
+        / F.lit(2.0) * F.lit(float(n))
+    )
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("long")))  # noqa: E731
+    key = F.concat_ws(
+        "/", F.lit(str(precision)), clamp(x).cast("string"),
+        clamp(y).cast("string"),
+    )
+    return (
+        df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .groupBy(key.alias("tile"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("tile"))
+        .limit(size)
+    )
+
+
+def normalize_agg(
+    buckets: DataFrame, key_col: str, value_col: str, dp: int = 6
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg (rescale_0_1 method): per-bucket
+    (v − min)/(max − min) over the parent's bucket list.  The min/max is
+    ONE 1-row aggregate broadcast back — never a global Window (the
+    same shape as sibling_max_bucket); degenerate max==min → 0.0 (ES
+    emits 0 for a flat series under rescale_0_1's lower bound)."""
+    mm = buckets.agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+    )
+    return (
+        buckets.join(F.broadcast(mm))
+        .select(
+            key_col, value_col,
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col(value_col) - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn")),
+                    dp,
+                )
+            )
+            .alias("normalized"),
+        )
+    )

@@ -3990,6 +3990,66 @@ def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# geotile_grid + normalize (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_geotile_grid",
+    f"""
+    WITH coords AS ({_COORDS_SQL}),
+    tiles AS (
+      SELECT '4/' ||
+             greatest(0, least(15, floor((lon + 180.0) / 360.0 * 16.0)::BIGINT))
+             || '/' ||
+             greatest(0, least(15, floor((1.0 - ln(tan(radians(lat))
+                 + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 16.0)::BIGINT))
+             AS tile
+      FROM coords WHERE lat IS NOT NULL AND lon IS NOT NULL
+    )
+    SELECT tile, count(*)::BIGINT AS doc_count FROM tiles
+    GROUP BY tile ORDER BY doc_count DESC, tile ASC LIMIT 10
+    """,
+)
+def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geotile_grid`` at precision 4: web-mercator z/x/y slippy-map
+    tiles over the derived event coordinates (the geohash_grid sibling —
+    together they cover both ES geo-bucketing schemes). Pure Column
+    math, one hash aggregate (operators/aggregations.py
+    geotile_grid_agg)."""
+    from .operators.aggregations import geotile_grid_agg
+
+    return geotile_grid_agg(
+        _coords(spark, sf_dir), "lat", "lon", precision=4, size=10
+    )
+
+
+@register(
+    "agg_normalize",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL},
+    mm AS (SELECT min(sum_v) AS mn, max(sum_v) AS mx FROM b)
+    SELECT bucket, sum_v,
+           CASE WHEN mm.mx = mm.mn THEN 0.0
+                ELSE round((sum_v - mm.mn) / (mm.mx - mm.mn), 6) END
+             AS normalized
+    FROM b, mm ORDER BY bucket
+    """,
+)
+def agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``normalize`` pipeline agg (rescale_0_1): each daily bucket's
+    event-value sum rescaled into [0,1] over the bucket list — min/max as
+    ONE broadcast 1-row aggregate, never a global Window
+    (operators/aggregations.py normalize_agg)."""
+    from .operators.aggregations import normalize_agg
+
+    return normalize_agg(
+        _event_buckets(spark, sf_dir).select("bucket", "sum_v"),
+        "bucket", "sum_v",
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
 # Driver-priority ordering
 # --------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 entries of ``queries()`` in
