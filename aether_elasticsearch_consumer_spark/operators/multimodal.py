@@ -123,6 +123,122 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib zlib + numpy: non-interlaced 8-bit
+    grayscale / RGB / palette / gray+alpha / RGBA (the overwhelming bulk
+    of web PNGs).  Chunk walk → IDAT inflate → per-row unfilter (none/up
+    vectorized; sub via per-lane cumulative sum mod 256; avg/paeth
+    sequential along the row, vectorized across channels) → (h, w[, c])
+    uint8.  16-bit depth and Adam7 interlace raise NotImplementedError
+    (honest partial codec, like 16-bit PPM)."""
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} not supported"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), np.uint16)
+    bpp = channels
+    for y in range(h):
+        f, cur = filters[y], data[y].astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # sub: per-lane prefix sum mod 256
+            lanes = cur.reshape(w, bpp)
+            rec = np.cumsum(lanes, axis=0, dtype=np.uint64).astype(
+                np.uint16
+            ).reshape(stride) & 0xFF
+        elif f == 2:  # up
+            rec = (cur + prev) & 0xFF
+        elif f in (3, 4):  # avg / paeth: sequential in x, vector in c
+            rec = np.zeros(stride, np.uint16)
+            px = np.zeros(bpp, np.uint16)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                a, b, c = px, prev[s], (
+                    prev[s.start - bpp:s.start] if x else np.zeros(bpp, np.uint16)
+                )
+                if f == 3:
+                    rec[s] = (cur[s] + ((a + b) >> 1)) & 0xFF
+                else:
+                    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    rec[s] = (cur[s] + pred) & 0xFF
+                px = rec[s]
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) for 8-bit gray/RGB/RGBA —
+    the fixture-side inverse of ``_decode_png`` so media tests need no
+    image library."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Vectorized nearest-neighbor resize for (h, w[, c]) arrays."""
     h, w = img.shape[:2]
@@ -132,9 +248,12 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode for PPM(P6)/BMP(24-bit); deterministic pseudo-decode
-    with ``fake=True`` for anything else (compressed codecs need
-    libraries this container doesn't ship)."""
+    """Real decode for PNG (8-bit gray/RGB/palette/alpha — stdlib zlib +
+    numpy unfilter), PPM(P6), and BMP(24-bit); deterministic
+    pseudo-decode with ``fake=True`` for anything else (JPEG/video need
+    codec libraries this container doesn't ship)."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(buf)
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
     if buf[:2] == b"BM":
@@ -142,7 +261,7 @@ def decode_image(buf: bytes, fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_decode(buf)
     raise NotImplementedError(
-        "compressed image codecs unavailable in this container — PPM/BMP "
+        "JPEG/video codecs unavailable in this container — PNG/PPM/BMP "
         "decode natively; pass fake=True for the deterministic test decode, "
         "or plug PIL/cv2 here in production"
     )

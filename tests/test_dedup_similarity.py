@@ -439,3 +439,146 @@ def test_wav_decode_and_audio_features(spark):
         w.writeframes(b)
     dec24, _ = decode_wav(bio.getvalue())
     assert np.abs(dec24 - x24).max() <= 1 / 8388608
+
+
+class TestPngDecode:
+    """PNG decode is REAL: stdlib zlib inflate + numpy unfiltering.
+    Round-trips via the filter-0 encoder; every filter type (sub/up/avg/
+    paeth) verified against a hand-filtered byte stream; palette expands
+    through PLTE; 16-bit and interlaced raise (honest partial codec)."""
+
+    def _rng_img(self, h, w, c, seed=0):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        return a[:, :, 0] if c == 1 else a
+
+    def test_roundtrip_all_channel_counts(self):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        for c in (1, 2, 3, 4):
+            img = self._rng_img(13, 17, c, seed=c)
+            got = decode_image(encode_png(img))
+            want = img if img.ndim == 3 else img
+            assert np.array_equal(got, want), c
+
+    def test_every_filter_type_unfilters_correctly(self):
+        import struct
+        import zlib
+
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            _decode_png,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8).astype(np.int32)
+        h, w, c = img.shape
+        # hand-apply the PNG filters row by row (the spec's math, written
+        # independently of the decoder)
+        lines = []
+        for y in range(h):
+            f = y % 5
+            cur = img[y].reshape(-1)
+            prev = img[y - 1].reshape(-1) if y else np.zeros(w * c, np.int32)
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - left
+            elif f == 2:
+                filt = cur - prev
+            elif f == 3:
+                filt = cur - ((left + prev) >> 1)
+            else:
+                p = left + prev - ul
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                filt = cur - pred
+            lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(_decode_png(buf), img.astype(np.uint8))
+
+    def test_palette_expands(self):
+        import struct
+        import zlib
+
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            _decode_png,
+        )
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        buf = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(_decode_png(buf), pal[idx])
+
+    def test_unsupported_raises_not_fakes(self):
+        import struct
+        import zlib
+
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            _decode_png,
+        )
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for depth, interlace in ((16, 0), (8, 1)):
+            buf = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                _decode_png(buf)
+
+    def test_decode_image_sniffs_png_and_thumbnails(self, spark):
+        from aether_elasticsearch_consumer_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+            thumbnails,
+        )
+
+        img = self._rng_img(32, 48, 3, seed=5)
+        buf = encode_png(img)
+        assert np.array_equal(decode_image(buf), img)
+        df = spark.createDataFrame(
+            [(1, bytearray(buf))], "id long, media binary"
+        )
+        out = thumbnails(df, "id", "media", 8, 8).collect()
+        assert len(out) == 1
