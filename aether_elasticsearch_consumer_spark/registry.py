@@ -3763,6 +3763,56 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Within-doc repetition ratio (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             list_transform(range(0, (len(t) // 5)),
+               i -> md5(array_to_string(list_slice(t, i*5 + 1, (i+1)*5), ' ')))
+               AS cs
+      FROM toks
+    )
+    SELECT doc_id, len(cs)::BIGINT AS n_chunks,
+           len(list_distinct(cs))::BIGINT AS n_distinct,
+           CASE WHEN len(cs) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(cs))::DOUBLE / len(cs), 6)
+           END AS rep_ratio
+    FROM chunks ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio — the pretraining quality signal
+    that catches template/boilerplate-stuffed pages (C4/Gopher-style
+    "repetition filters"): 1 − distinct/total over non-overlapping
+    5-token chunk hashes.  Pure Column pipeline off the same
+    ``chunk_hashes`` primitive as the cross-doc boilerplate pass
+    (operators/dedup.py) — map-only at any scale."""
+    from .operators.dedup import chunk_hashes
+
+    cs = chunk_hashes(F.col("text"), chunk_tokens=5)
+    n = F.size(cs)
+    nd = F.size(F.array_distinct(cs))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_chunks"),
+            nd.cast("long").alias("n_distinct"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(F.round(F.lit(1.0) - nd.cast("double") / n, 6))
+            .alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing (round 5)
 # --------------------------------------------------------------------------
 
