@@ -4163,7 +4163,11 @@ _DRIVER_PRIORITY: list[str] = [
     "rel_has_child",
     "rel_has_parent",
     "fulltext_function_score_gauss",
-    # -- proven anchors (driver-green in rounds 1-4) --
+    "fulltext_combined_fields",
+    "fulltext_cross_fields",
+    # -- positions 50+: proven anchors (driver-green r1-4), then the
+    # rest in original order; the remaining round-5 entries rotate into
+    # the 0-49 window next round once this round's 50 have driver rows
     "fulltext_bm25_topk",
     "fulltext_term_match",
 ]
