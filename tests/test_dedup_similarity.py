@@ -329,7 +329,12 @@ class TestRealImageDecode:
             decode_image,
         )
 
+        # JPEG remains the honest stub (no DCT/Huffman libs in container)
         with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0....")
+        # PNG now decodes for real — a truncated stream is a hard error,
+        # never a silent fake
+        with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
