@@ -3763,6 +3763,117 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination + domain mixture weights (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, (len(t) // 10)),
+          i -> md5(array_to_string(list_slice(t, i*10 + 1, (i+1)*10), ' ')))))
+        AS h
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT h FROM chunks WHERE doc_id % 7 = 0)
+    SELECT doc_id, count(*)::BIGINT AS n_shared FROM chunks
+    WHERE doc_id % 7 <> 0 AND h IN (SELECT h FROM bench)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the pretraining hygiene pass that
+    drops corpus docs overlapping the eval set (GPT-3/PaLM-style n-gram
+    decontamination): corpus docs sharing ≥1 ten-token chunk with the
+    benchmark subset (here the deterministic doc_id %% 7 == 0 slice),
+    with the shared-chunk count per doc.  Scale shape: the benchmark's
+    chunk-hash set is tiny next to the corpus → BROADCAST semi-side
+    (eval sets are MBs, corpora are TBs); the corpus side is the same
+    map-only chunk-hash pass as ``dedup_chunks``; one candidate-sized
+    count aggregate."""
+    from .operators.dedup import chunk_hashes
+
+    chunks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(chunk_hashes(F.col("text"), chunk_tokens=10))
+        ).alias("h"),
+    )
+    bench = (
+        chunks.where(F.col("doc_id") % 7 == 0).select("h").distinct()
+    )
+    return (
+        chunks.where(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_domain_mix",
+    """
+    WITH n AS (
+      SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    d AS (SELECT sum(sqrt(n_docs::DOUBLE)) AS denom FROM n)
+    SELECT lang, n_docs,
+           round(sqrt(n_docs::DOUBLE) / d.denom, 6) AS mix_weight
+    FROM n, d ORDER BY lang
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture DOMAIN WEIGHTS: temperature-scaled sampling
+    weights per language, w_i = n_i^α / Σ n_j^α with α=0.5 (the
+    multilingual-LM upsampling rule — smaller domains sampled above
+    their natural share).  sqrt keeps the power correctly-rounded IEEE
+    on both sides; the denominator is one broadcast 1-row aggregate."""
+    n = _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n_docs"))
+    d = n.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("denom"))
+    return (
+        n.join(F.broadcast(d))
+        .select(
+            "lang", "n_docs",
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("denom"), 6
+            ).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "fulltext_intervals",
+    f"""
+    SELECT doc_id FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+    WHERE len(list_filter(range(1, len(t)+1),
+              i -> t[i] = 'customer'
+                   AND len(list_filter(range(i+1, least(i+2, len(t))+1),
+                           j -> t[j] = 'order')) > 0)) > 0
+    ORDER BY doc_id
+    """,
+)
+def fulltext_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``intervals`` query, match rule {query: "customer order",
+    max_gaps: 1, ordered: true}: the terms in order within ≤ max_gaps
+    intervening positions.  Lucene's ordered interval criterion (width −
+    m ≤ max_gaps) is exactly the span_near(in_order=true) gap-slack
+    window, so the intervals API is served by the same positional
+    machinery (operators/topk.py span_near_docs) — documented mapping,
+    not a new evaluator; the unordered rule maps to
+    span_near(in_order=false) the same way."""
+    return (
+        _reader_pos_for(spark, sf_dir)
+        .span_near_docs(["customer", "order"], slop=1, in_order=True)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Within-doc repetition ratio (round 5)
 # --------------------------------------------------------------------------
 
