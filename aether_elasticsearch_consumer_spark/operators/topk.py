@@ -137,6 +137,7 @@ def _score_segment(
     b: float = BM25_B,
     bound_scale: float = 1.0,
     after: tuple[float, int] | None = None,
+    per_term_round: bool = False,
 ) -> pd.DataFrame:
     """Score one segment's query-term posting rows. ``pdf`` has one row per
     posting block: term, df, block_no, first/last_doc_id, max_impact,
@@ -160,6 +161,12 @@ def _score_segment(
     only removes candidates); N/avgdl/df arrive already delete-adjusted
     from the reader, so surviving scores are exactly the live-corpus
     BM25.
+
+    ``per_term_round``: round each term's contribution to 9 dp BEFORE
+    accumulating (the or_scores / query-string clause ladder —
+    round(Σ round(s_t, 9), 9)); default keeps the flagship ladder
+    (raw accumulation, one final round).  Identical for single-term
+    queries (round is idempotent at 9 dp).
 
     ``after``: ES search_after cursor ``(score, doc_id)`` — keep only
     docs strictly after the cursor in (score desc, doc_id asc) order.
@@ -306,6 +313,11 @@ def _score_segment(
         if not todo:
             continue
         p, s = score_blocks(todo, idf)
+        if per_term_round:
+            # the clause ladder pre-rounds each term's contribution; the
+            # σ bounds stay valid (rounding moves a score by ≤5e-10,
+            # inside the 1e-9 pruning margin used everywhere)
+            s = np.round(s, 9)
         if not or_phase:
             m = seen[p]
             p, s = p[m], s[m]
@@ -436,7 +448,11 @@ class IndexReader:
         return dfs
 
     def _scored_per_segment(
-        self, terms: list[str], k: int, after: tuple[float, int] | None
+        self,
+        terms: list[str],
+        k: int,
+        after: tuple[float, int] | None,
+        per_term_round: bool = False,
     ) -> DataFrame:
         """The shared scoring plan: pruned posting read → broadcast
         (delete-adjusted) df → block_no=0 sidecar attach → per-segment
@@ -501,7 +517,8 @@ class IndexReader:
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
             side = pdf.loc[pdf["lens"].notna()]
             return _score_segment(
-                pdf, side, N, avgdl, k, bound_scale=bscale, after=after
+                pdf, side, N, avgdl, k, bound_scale=bscale, after=after,
+                per_term_round=per_term_round,
             )
 
         return joined.groupBy("segment_id").applyInPandas(score, TOPK_SCHEMA)
@@ -1290,18 +1307,19 @@ class IndexReader:
         scored as the sum of its 9-dp-rounded per-term BM25 scores,
         re-rounded — the clause ladder ``query_string_search`` uses for
         should groups, exposed as the primitive under the compound scored
-        queries (boosting, function_score). Pruned per-term posting reads
-        union; the sum is one hash aggregate."""
-        from functools import reduce
+        queries (boosting, function_score, multi_match).
 
+        ONE pruned pass: the segment kernel accumulates pre-rounded
+        per-term contributions directly (``per_term_round=True``) — a doc
+        lives in exactly one segment, so no cross-frame merge exists and
+        the T-term query costs one posting read instead of T unioned
+        single-term jobs (the round-5 change; the previous per-term
+        union/groupBy plan computed the identical ladder values)."""
         terms = sorted(set(tokenize_py(query, self.profile)))
         if not terms:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        parts = [self.score_matches(t) for t in terms]
-        return (
-            reduce(DataFrame.unionByName, parts)
-            .groupBy("doc_id")
-            .agg(F.round(F.sum("score"), 9).alias("score"))
+        return self._scored_per_segment(
+            terms, 1 << 62, None, per_term_round=True
         )
 
     def match_bool_prefix(self, text: str, k: int = 10) -> DataFrame:

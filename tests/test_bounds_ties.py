@@ -98,3 +98,41 @@ def test_merged_avgdl_drift_bounds(spark, skewed_merge):
         assert [g[0] for g in got] == [w[0] for w in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_or_scores_one_pass_equals_per_term_union(spark, tmp_path_factory):
+    """or_scores (one pruned pass, per_term_round=True kernel) is
+    bit-identical to the pre-round-5 plan: per-term single-term jobs,
+    union, groupBy round(sum(round(s,9)),9) — on multi-term, stopword,
+    single-term, and absent-term queries."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.plans.index_build import (
+        IndexBuilder,
+    )
+
+    root = tmp_path_factory.mktemp("orladder")
+    IndexBuilder(
+        spark, str(root / "idx"), docs_per_segment=128, term_buckets=8
+    ).build(webtext_df(spark, 400, partitions=4), fingerprint_extra="orl")
+    rd = IndexReader(spark, str(root / "idx"))
+
+    def old_or(q):
+        terms = sorted(set(q.split()))
+        parts = [rd.score_matches(t) for t in terms]
+        return (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("score"), 9).alias("score"))
+        )
+
+    for q in ["keta gera", "the keta gera tila", "the of and in is",
+              "keta", "zzznope keta"]:
+        a = {r["doc_id"]: r["score"] for r in old_or(q).collect()}
+        b = {r["doc_id"]: r["score"] for r in rd.or_scores(q).collect()}
+        assert a == b, q
