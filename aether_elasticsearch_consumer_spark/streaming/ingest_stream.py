@@ -61,6 +61,7 @@ def stream_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     upsert: bool = False,
+    compaction_policy=None,
     **builder_kwargs,
 ):
     """Continuous INDEXING: the stream's micro-batches become delta
@@ -74,6 +75,14 @@ def stream_index(
     repoint the ``live`` pointer (plans/live_pointer.py — a single-object
     JSON commit that also works on object storage). Readers opening the
     index between batches always see a complete committed index.
+
+    ``compaction_policy``: a ``plans.compaction.CompactionPolicy`` —
+    after each committed batch the policy's metadata triggers are
+    evaluated (delete ratio / segment fill / bound scale) and, when due,
+    the live docs rebuild into a fresh generation and the pointer
+    repoints — Lucene's background-merge role, on the SAME idempotent
+    footing as the batches (a replayed compaction tag checkpoint-resumes).
+    ``None`` (default) never compacts.
 
     ``upsert=True`` is the reference's ACTUAL consumer semantics
     (artifacts.py:513-550: create → update → ignore-conflict, keyed by
@@ -99,6 +108,18 @@ def stream_index(
     work = Path(work_dir)
     work.mkdir(parents=True, exist_ok=True)
 
+    def maybe_compact_after(batch_id: int) -> None:
+        if compaction_policy is None:
+            return
+        from ..plans.compaction import maybe_compact
+
+        # deterministic tag per triggering batch → a replayed compaction
+        # checkpoint-resumes its build instead of forking a new generation
+        maybe_compact(
+            spark, str(live), str(work), compaction_policy,
+            tag=f"b{batch_id}",
+        )
+
     def handle_batch(batch_df, batch_id: int):
         if upsert:
             if batch_df.isEmpty():
@@ -110,6 +131,7 @@ def stream_index(
                 spark, str(live), str(work), batch_df, f"b{batch_id}",
                 **builder_kwargs,
             )
+            maybe_compact_after(batch_id)
             return
         delta = work / f"batch_{batch_id}"
         merged = work / f"merged_{batch_id}"
@@ -148,6 +170,7 @@ def stream_index(
         ).build(batch_df, fingerprint_extra={"batch": batch_id})
         merge_indexes(spark, current, str(delta), str(merged))
         commit_live_pointer(live, merged)  # atomic repoint
+        maybe_compact_after(batch_id)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

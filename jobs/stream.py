@@ -28,6 +28,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+from aether_elasticsearch_consumer_spark.plans.compaction import (
+    CompactionPolicy,
+)
 from aether_elasticsearch_consumer_spark.plans.live_pointer import resolve_live
 from aether_elasticsearch_consumer_spark.plans.tombstones import (
     delete_stats,
@@ -55,6 +58,13 @@ def main(argv=None):
     ap.add_argument("--docs-per-segment", type=int, default=8192)
     ap.add_argument("--term-buckets", type=int, default=16)
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--auto-compact", action="store_true",
+        help="evaluate the compaction policy after each committed batch "
+             "and rebuild+repoint when due (plans/compaction.py)",
+    )
+    ap.add_argument("--max-delete-ratio", type=float, default=0.2)
+    ap.add_argument("--min-segment-fill", type=float, default=0.5)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -71,6 +81,14 @@ def main(argv=None):
         available_now=True,
         max_files_per_trigger=args.max_files_per_trigger,
         upsert=args.upsert,
+        compaction_policy=(
+            CompactionPolicy(
+                max_delete_ratio=args.max_delete_ratio,
+                min_segment_fill=args.min_segment_fill,
+            )
+            if args.auto_compact
+            else None
+        ),
         docs_per_segment=args.docs_per_segment,
         term_buckets=args.term_buckets,
         with_positions=args.with_positions,

@@ -533,3 +533,68 @@ def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {"u1": "u1-first", "u2": "u2-first", "u3": "u3-first"}
+
+
+def test_stream_auto_compact_triggers_mid_stream(spark, tmp_path):
+    """compaction_policy wired into the streaming loop: a wave
+    re-delivering >20% of urls pushes delete_ratio past the policy →
+    the post-batch evaluation rebuilds and repoints; the live index ends
+    tombstone-free with identical search results."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.operators.topk import IndexReader
+    from aether_elasticsearch_consumer_spark.plans.compaction import (
+        CompactionPolicy,
+        compaction_due,
+    )
+    from aether_elasticsearch_consumer_spark.plans.live_pointer import (
+        resolve_live,
+    )
+    from aether_elasticsearch_consumer_spark.plans.tombstones import (
+        has_deletes,
+    )
+    from aether_elasticsearch_consumer_spark.streaming.ingest_stream import (
+        stream_index,
+    )
+    from pyspark.sql import functions as F
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    full = webtext_df(spark, 100, partitions=2).select("url", "text", "lang")
+    full.coalesce(1).write.parquet(str(incoming / "w1"))
+    schema = spark.read.parquet(str(incoming / "w1")).schema
+    live = tmp_path / "live"
+    policy = CompactionPolicy(max_delete_ratio=0.2, min_segment_fill=0.0)
+
+    def run():
+        stream_index(
+            spark, str(incoming / "*"), schema, str(live),
+            str(tmp_path / "wk"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, upsert=True,
+            compaction_policy=policy,
+            docs_per_segment=64, term_buckets=4,
+        )
+
+    run()
+    # wave 2: re-deliver 25 urls → 25/125 total = 0.2 delete ratio → due
+    (
+        full.orderBy("url").limit(25)
+        .select(
+            "url",
+            F.concat(F.lit("rewritten for "), "url").alias("text"),
+            "lang",
+        )
+        .coalesce(1).write.parquet(str(incoming / "w2"))
+    )
+    run()
+    resolved = resolve_live(live)
+    assert "compact_" in resolved  # a compaction generation went live
+    assert not has_deletes(resolved)  # tombstones physically purged
+    rd = IndexReader(spark, str(live))
+    assert rd.N == 100
+    assert not compaction_due(spark, resolved, policy)["due"]
+    hits = {r["doc_id"] for r in rd.match_docs("rewritten", "and").collect()}
+    assert len(hits) == 25
+    # replay: checkpointed stream is a no-op, pointer stable
+    before = resolve_live(live)
+    run()
+    assert resolve_live(live) == before
