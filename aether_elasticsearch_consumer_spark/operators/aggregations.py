@@ -592,7 +592,13 @@ def geotile_grid_agg(
     import math
 
     n = 1 << precision
-    latr = F.radians(F.col(lat))
+    # mercator validity clamp (ES clamps the same way): lat = ±90 makes
+    # tanφ+secφ hit exactly 0/∞ in doubles — ln(0) raises in DuckDB and
+    # nulls in Spark, so the clamp is a correctness requirement for the
+    # oracle pairing, not just geometry
+    MAX_LAT = 85.05112878
+    latc = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), F.col(lat)))
+    latr = F.radians(latc)
     x = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
     y = F.floor(
         (F.lit(1.0)

@@ -4159,6 +4159,11 @@ def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_geotile_grid",
     f"""
     WITH coords AS ({_COORDS_SQL}),
+    clamped AS (
+      SELECT lon,
+             greatest(-85.05112878, least(85.05112878, lat)) AS lat
+      FROM coords WHERE lat IS NOT NULL AND lon IS NOT NULL
+    ),
     tiles AS (
       SELECT '4/' ||
              greatest(0, least(15, floor((lon + 180.0) / 360.0 * 16.0)::BIGINT))
@@ -4166,7 +4171,7 @@ def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              greatest(0, least(15, floor((1.0 - ln(tan(radians(lat))
                  + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 16.0)::BIGINT))
              AS tile
-      FROM coords WHERE lat IS NOT NULL AND lon IS NOT NULL
+      FROM clamped
     )
     SELECT tile, count(*)::BIGINT AS doc_count FROM tiles
     GROUP BY tile ORDER BY doc_count DESC, tile ASC LIMIT 10
