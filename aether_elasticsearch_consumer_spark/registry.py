@@ -3763,6 +3763,54 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQ8 scalar-quantized similarity (round 5)
+# --------------------------------------------------------------------------
+
+_SQ8_DIM = 64
+_SQ8_SPAN = "(CASE WHEN d.mxs[i] > d.mns[i] THEN d.mxs[i] - d.mns[i] ELSE 1.0 END)"
+
+
+@register(
+    "similarity_sq8_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM e, range(1, {_SQ8_DIM}+1) t(i) GROUP BY i
+    ),
+    d AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+          FROM dims),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    rec AS (
+      SELECT e.vec_id,
+             list_transform(range(1, {_SQ8_DIM}+1),
+               i -> d.mns[i]
+                    + floor((e.v[i] - d.mns[i]) / {_SQ8_SPAN} * 255.0 + 0.5)
+                      * {_SQ8_SPAN} / 255.0) AS r
+      FROM e, d
+    )
+    SELECT vec_id, round(list_cosine_similarity(rec.r, q.qv), 6) AS cosine
+    FROM rec, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized cosine top-k (faiss SQ8): per-dimension
+    uint8 linear quantization against exact corpus min/max — 4× less
+    vector memory/IO than float32, the standard first compression step
+    before IVF-PQ at 100-TB embedding scale. The oracle replays the
+    quantize→reconstruct→cosine arithmetic exactly (explicit HALF_UP
+    floor; flat dims pin to mn), so this is a VALUE-checked approximate
+    index, like the LSH/IVF entries (operators/similarity.py
+    sq8_topk)."""
+    from .operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    return sq8_topk(emb, qv, k=10)
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination + domain mixture weights (round 5)
 # --------------------------------------------------------------------------
 

@@ -587,3 +587,46 @@ class TestPngDecode:
         )
         out = thumbnails(df, "id", "media", 8, 8).collect()
         assert len(out) == 1
+
+
+class TestSq8:
+    def test_sq8_recall_and_quantization_error(self, spark):
+        """SQ8 reconstruction error per dim is <= span/510 (half a code
+        step), and top-10 recall vs exact brute force is high on the
+        driver embeddings."""
+        import numpy as np
+
+        from aether_elasticsearch_consumer_spark.operators.similarity import (
+            brute_force_topk,
+            sq8_codebook,
+            sq8_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mn, mx = sq8_codebook(emb)
+        assert mn.shape == (64,) and (mx >= mn).all()
+        rows = emb.limit(50).collect()
+        span = np.where(mx > mn, mx - mn, 1.0)
+        for r in rows[:10]:
+            x = np.asarray(r["embedding"], dtype=np.float64)
+            codes = np.floor((x - mn) / span * 255.0 + 0.5)
+            assert ((codes >= 0) & (codes <= 255)).all()
+            recon = mn + codes * span / 255.0
+            assert (np.abs(recon - x) <= span / 510.0 + 1e-12).all()
+        qv = rows[0]["embedding"]
+        exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+        approx = [r["vec_id"] for r in sq8_topk(emb, qv, k=10).collect()]
+        overlap = len(set(exact) & set(approx))
+        assert overlap >= 8, (exact, approx)
+
+    def test_sq8_flat_dimension_pins_to_min(self, spark):
+        import numpy as np
+
+        from aether_elasticsearch_consumer_spark.operators.similarity import (
+            sq8_topk,
+        )
+
+        rows = [(i, [float(i), 5.0]) for i in range(8)]  # dim 2 is flat
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = sq8_topk(df, [7.0, 5.0], k=3).collect()
+        assert [r["vec_id"] for r in out]  # no div-by-zero, sane result
