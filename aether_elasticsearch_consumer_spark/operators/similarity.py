@@ -249,3 +249,44 @@ def sq8_topk(
 
     part = df.select(id_col, vec_col).mapInPandas(score, TOPK_SCHEMA)
     return part.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (the ES 8.x hybrid-search combiner for
+    BM25 + kNN retrievers): each input ranking contributes
+    1/(k_rrf + rank) per doc; fused score = the sum, ties (score desc,
+    id asc).  Inputs are ALREADY-CUT top-N frames (retriever outputs),
+    so the rank window runs over ≤N rows per ranking — never the corpus;
+    the fuse is one hash aggregate over ids+doubles.  Rank is assigned
+    on each frame's OWN (score-column desc, id asc) total order, making
+    the fusion deterministic and SQL-replayable."""
+    from pyspark.sql import Window
+
+    parts = []
+    for df in rankings:
+        score_col = [c for c in df.columns if c != id_col][0]
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.row_number().over(w).alias("__rank"),
+            )
+        )
+    from functools import reduce
+
+    allp = reduce(DataFrame.unionByName, parts)
+    fused = (
+        allp.groupBy("__id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("__rank"))), 6
+            ).alias("rrf_score")
+        )
+        .select(F.col("__id").alias(id_col), "rrf_score")
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

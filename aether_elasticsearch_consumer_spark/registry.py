@@ -3763,6 +3763,75 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hybrid search: BM25 + kNN fused with RRF (round 5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fulltext_hybrid_rrf",
+    f"""
+    WITH lens AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS doc_len, unnest({_TOKS_SQL}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, doc_len, term, count(*)::BIGINT AS tf
+      FROM toks WHERE term IN ('join', 'spark', 'window')
+      GROUP BY doc_id, doc_len, term
+    ),
+    dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    st AS (SELECT count(*)::BIGINT AS N, avg(doc_len) AS avgdl FROM lens),
+    bm25 AS (
+      SELECT tf.doc_id,
+             round(sum({bm25_duckdb_sql('tf.tf', 'dft.df', 'tf.doc_len', 'st.N', 'st.avgdl')}), 9) AS s
+      FROM tf, dft, st WHERE tf.term = dft.term GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 50
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    knn AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS s
+      FROM e, q ORDER BY s DESC, doc_id ASC LIMIT 50
+    ),
+    ranks AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM bm25
+      UNION ALL
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM knn
+    )
+    SELECT doc_id, round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+    FROM ranks GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def fulltext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x HYBRID SEARCH: BM25 top-50 (the flagship engine path) and
+    exact kNN top-50 over the aligned embeddings fused with reciprocal
+    rank fusion (rrf, k=60 — ES's retriever combiner): score =
+    Σ 1/(60 + rank).  Ranks come from each retriever's own total order
+    (score desc, id asc), so the fusion is deterministic and the oracle
+    replays both rankings and the fuse exactly
+    (operators/similarity.py rrf_fuse)."""
+    from .operators.similarity import brute_force_topk, rrf_fuse
+
+    rd = _reader_for(spark, sf_dir)
+    text_rank = rd.search(_Q1, k=50)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    vec_rank = brute_force_topk(emb, qv, k=50).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    return rrf_fuse([text_rank, vec_rank], id_col="doc_id", k_rrf=60, k=10)
+
+
+# --------------------------------------------------------------------------
 # SQ8 scalar-quantized similarity (round 5)
 # --------------------------------------------------------------------------
 
