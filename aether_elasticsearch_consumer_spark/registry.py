@@ -4245,6 +4245,31 @@ def agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats_bucket",
+    f"""
+    WITH {_EVENT_BUCKETS_SQL}
+    SELECT count(*)::BIGINT AS n_buckets,
+           round(min(sum_v), 4) AS min_v, round(max(sum_v), 4) AS max_v,
+           round(avg(sum_v), 4) AS avg_v, round(sum(sum_v), 4) AS sum_v
+    FROM b
+    """,
+)
+def agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats_bucket`` sibling agg: count/min/max/avg/sum over the
+    parent histogram's bucket metric — one 1-row aggregate over the
+    reduced bucket list (completes the *_bucket sibling family beside
+    ``agg_max_bucket``)."""
+    b = _event_buckets(spark, sf_dir)
+    return b.agg(
+        F.count("*").alias("n_buckets"),
+        F.round(F.min("sum_v"), 4).alias("min_v"),
+        F.round(F.max("sum_v"), 4).alias("max_v"),
+        F.round(F.avg("sum_v"), 4).alias("avg_v"),
+        F.round(F.sum("sum_v"), 4).alias("sum_v"),
+    )
+
+
+@register(
     "agg_serial_diff",
     f"""
     WITH {_EVENT_BUCKETS_SQL}
