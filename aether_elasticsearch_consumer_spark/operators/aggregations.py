@@ -645,3 +645,48 @@ def normalize_agg(
             .alias("normalized"),
         )
     )
+
+
+def boxplot_agg(df: DataFrame, field: str, dp: int = 6) -> DataFrame:
+    """ES ``boxplot`` agg: min / q1 / median / q3 / max of a numeric
+    field. ES computes quartiles with t-digest (approximate); exact
+    continuous-interpolation quantiles here (same definition as DuckDB
+    quantile_cont — oracle-checkable), ``percentile_approx`` is the
+    corpus-scale swap, the same trade as ``percentiles_agg``."""
+    c = F.col(field)
+    q = F.expr(f"percentile({field}, array(0.25, 0.5, 0.75))")
+    return df.where(c.isNotNull()).agg(
+        F.round(F.min(c), dp).alias("min_v"),
+        F.round(q[0], dp).alias("q1"),
+        F.round(q[1], dp).alias("q2"),
+        F.round(q[2], dp).alias("q3"),
+        F.round(F.max(c), dp).alias("max_v"),
+    )
+
+
+def t_test_agg(
+    df: DataFrame, field: str, group_a: Column, group_b: Column, dp: int = 6
+) -> DataFrame:
+    """ES ``t_test`` agg (heteroscedastic / Welch's, the ES default):
+    the t statistic between two filtered populations of a numeric field,
+    t = (x̄_a − x̄_b) / sqrt(s²_a/n_a + s²_b/n_b) with SAMPLE variances.
+    One conditional-aggregate pass — both groups reduce in a single scan
+    (no self-join), the ES filters live as when() predicates."""
+    c = F.col(field).cast("double")
+    xa = F.when(group_a, c)
+    xb = F.when(group_b, c)
+    agg = df.agg(
+        F.count(xa).alias("na"), F.avg(xa).alias("ma"),
+        F.var_samp(xa).alias("va"),
+        F.count(xb).alias("nb"), F.avg(xb).alias("mb"),
+        F.var_samp(xb).alias("vb"),
+    )
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    return agg.select(
+        "na", "nb",
+        F.round("ma", dp).alias("mean_a"),
+        F.round("mb", dp).alias("mean_b"),
+        F.round(t, dp).alias("t_stat"),
+    )

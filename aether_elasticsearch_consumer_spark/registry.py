@@ -4245,6 +4245,58 @@ def agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_boxplot",
+    """
+    SELECT round(min(value), 6) AS min_v,
+           round(quantile_cont(value, 0.25), 6) AS q1,
+           round(quantile_cont(value, 0.5), 6) AS q2,
+           round(quantile_cont(value, 0.75), 6) AS q3,
+           round(max(value), 6) AS max_v
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``boxplot`` agg over event values: min/q1/median/q3/max —
+    exact continuous-interpolation quartiles (ES uses t-digest; the
+    percentile_approx swap is the corpus-scale trade, as with
+    ``agg_percentiles``)."""
+    from .operators.aggregations import boxplot_agg
+
+    return boxplot_agg(_events(spark, sf_dir), "value")
+
+
+@register(
+    "agg_t_test",
+    """
+    SELECT count(value) FILTER (event_type = 'purchase')::BIGINT AS na,
+           count(value) FILTER (event_type = 'error')::BIGINT AS nb,
+           round(avg(value) FILTER (event_type = 'purchase'), 6) AS mean_a,
+           round(avg(value) FILTER (event_type = 'error'), 6) AS mean_b,
+           round((avg(value) FILTER (event_type = 'purchase')
+                  - avg(value) FILTER (event_type = 'error'))
+                 / sqrt(var_samp(value) FILTER (event_type = 'purchase')
+                          / count(value) FILTER (event_type = 'purchase')
+                        + var_samp(value) FILTER (event_type = 'error')
+                          / count(value) FILTER (event_type = 'error')), 6)
+             AS t_stat
+    FROM events
+    """,
+)
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``t_test`` agg (Welch's heteroscedastic, the ES default):
+    t statistic of event value between the purchase and error
+    populations — one conditional-aggregate pass, both groups reduced in
+    a single scan (operators/aggregations.py t_test_agg)."""
+    from .operators.aggregations import t_test_agg
+
+    return t_test_agg(
+        _events(spark, sf_dir), "value",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+    )
+
+
+@register(
     "agg_stats_bucket",
     f"""
     WITH {_EVENT_BUCKETS_SQL}
