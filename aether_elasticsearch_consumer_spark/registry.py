@@ -4245,6 +4245,30 @@ def agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mad",
+    """
+    SELECT round(median(abs(value -
+             (SELECT median(value) FROM events WHERE value IS NOT NULL))), 6)
+             AS mad
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``median_absolute_deviation`` agg: median(|x − median(x)|) —
+    the robust dispersion metric ES pairs with boxplot. Two exact
+    continuous-interpolation medians (ES uses t-digest; same disclosed
+    trade as percentiles/boxplot): the inner median is a 1-row aggregate
+    collected once, the outer runs over the transformed column."""
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    m = e.agg(F.expr("percentile(value, 0.5)").alias("m")).collect()[0]["m"]
+    return e.agg(
+        F.round(
+            F.expr(f"percentile(abs(value - {m!r}), 0.5)"), 6
+        ).alias("mad")
+    )
+
+
+@register(
     "agg_boxplot",
     """
     SELECT round(min(value), 6) AS min_v,
