@@ -29,44 +29,95 @@ def token_count(text: Column | str, profile: str = "ascii") -> Column:
     return F.size(tokenize_col(text, profile))
 
 
+def _bind(s: Column, fn) -> Column:
+    """Evaluate the (struct) expression ONCE and expose its fields to
+    ``fn`` as cheap struct-field reads — the shingle_hashes lambda-binding
+    trick generalized. Rationale (round 6, measured): codegen
+    subexpression elimination skips expressions inside CASE WHEN
+    branches, so a formula referencing ``tokenize_col`` from several
+    ``when`` arms re-runs the regex per reference (the text_quality plan
+    carried 6× regexp_extract_all / 3× regexp_replace — 2.7× slower than
+    the bound form)."""
+    return F.element_at(F.transform(F.array(s), fn), 1)
+
+
 def lang_id(text: Column | str, profile: str = "ascii") -> Column:
     """n-gram/stopword heuristic language ID: most stopword hits wins;
-    ties and zero hits → 'und'. Deterministic tie-break by language code."""
+    ties and zero hits → 'und'. Deterministic tie-break by language code.
+    Tokenize binds once, then each per-language intersect binds once —
+    the when-cascade reads struct fields instead of re-running them."""
     toks = tokenize_col(text, profile)
-    scores = {
-        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # reversed so earlier (alphabetical) languages win exact ties
-    for lang in sorted(scores, reverse=True):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+    def decide(s: Column) -> Column:
+        scores = {lang: s[lang] for lang in LANG_STOPWORDS}
+        best = F.greatest(*scores.values())
+        expr = F.lit("und")
+        # reversed so earlier (alphabetical) languages win exact ties
+        for lang in sorted(scores, reverse=True):
+            expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+        return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+    return _bind(
+        F.struct(F.array_distinct(toks).alias("ts")),
+        lambda t: _bind(
+            F.struct(
+                *[
+                    F.size(
+                        F.array_intersect(
+                            t["ts"], F.array(*[F.lit(w) for w in words])
+                        )
+                    ).alias(lang)
+                    for lang, words in LANG_STOPWORDS.items()
+                ]
+            ),
+            decide,
+        ),
+    )
 
 
 def quality_score(text: Column | str, profile: str = "ascii") -> Column:
     """Composite quality in [0,1]: length score (tokens/200 capped),
     alpha ratio, stopword presence, mean-word-length sanity band.
-    Deterministic arithmetic, SQL-parity friendly (round 6)."""
+    Deterministic arithmetic, SQL-parity friendly (round 6). The
+    tokenize/regexp inputs bind once (see ``_bind``); the arithmetic is
+    term-for-term identical to the pre-bind formula (and the oracle)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = tokenize_col(c, profile)
-    n_toks = F.size(toks)
-    n_chars = F.length(c)
-    alpha_chars = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
     en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
-    stop_score = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
-    len_score = F.least(n_toks / F.lit(200.0), F.lit(1.0))
-    mean_wl = F.when(n_toks > 0, alpha_chars / n_toks).otherwise(F.lit(0.0))
-    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
-        F.lit(0.3) * len_score
-        + F.lit(0.3) * alpha_ratio
-        + F.lit(0.2) * stop_score
-        + F.lit(0.2) * wl_score,
-        6,
+
+    def formula(v: Column) -> Column:
+        n_toks, n_chars = v["n_toks"], v["n_chars"]
+        alpha_chars, stop_hits = v["alpha"], v["stop_hits"]
+        alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+        stop_score = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+        len_score = F.least(n_toks / F.lit(200.0), F.lit(1.0))
+        mean_wl = F.when(n_toks > 0, alpha_chars / n_toks).otherwise(F.lit(0.0))
+        wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+        return F.round(
+            F.lit(0.3) * len_score
+            + F.lit(0.3) * alpha_ratio
+            + F.lit(0.2) * stop_score
+            + F.lit(0.2) * wl_score,
+            6,
+        )
+
+    return _bind(
+        F.struct(
+            toks.alias("ts"),
+            F.length(c).alias("n_chars"),
+            F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")).alias("alpha"),
+        ),
+        lambda s: _bind(
+            F.struct(
+                F.size(s["ts"]).alias("n_toks"),
+                s["n_chars"].alias("n_chars"),
+                s["alpha"].alias("alpha"),
+                F.size(F.array_intersect(F.array_distinct(s["ts"]), en_stop)).alias(
+                    "stop_hits"
+                ),
+            ),
+            formula,
+        ),
     )
 
 

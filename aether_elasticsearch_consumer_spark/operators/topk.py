@@ -110,6 +110,18 @@ def _decode_positions_batch(
 # index layout.
 POS_BITS = 20
 
+# doclens-sidecar broadcast cap (see IndexReader._sidecar_bc): past this
+# the reader keeps the semi-join + block_no=0 join plan
+_SIDECAR_BC_MAX_BYTES = 256 * 1024 * 1024
+
+# scoring-exchange sizing for the broadcast-sidecar fast path: each task
+# pays a fixed python-worker round-trip (~0.1-0.3 s measured), so width
+# derives from WORK (segments / this) capped at the cluster width — a
+# width-32 plan for a 49-segment query measured p50 0.57 s vs 0.44 s at
+# the derived 7 (probe in OPTIMIZATION_r06.md); large corpora hit the
+# parallelism cap and scale out normally
+_SEGMENTS_PER_SCORE_TASK = 8
+
 
 def _select_topk(
     cand: np.ndarray, scores: np.ndarray, k: int
@@ -383,6 +395,19 @@ class IndexReader:
         self._postings = spark.read.parquet(str(self.dir / "postings/data"))
         self._doclens = spark.read.parquet(str(self.dir / "doclens/data"))
         self._term_stats = spark.read.parquet(str(self.dir / "term_stats/data"))
+        # lazy driver-side metadata caches (round 6 latency work): the
+        # per-query df lookup and the doclens sidecar are tiny pruned
+        # reads, but as Spark jobs they cost a scheduling round-trip each
+        # (a search ran 6 jobs; the two broadcast-subquery builds were
+        # ~40% of p50). pyarrow reads them driver-side instead — same
+        # bucket-directory + row-group pruning, zero jobs.
+        self._ts_dataset = None
+        self._sidecar_cache = None
+        # scoring-exchange width for the broadcast-sidecar fast path;
+        # None → defaultParallelism (tunable: each extra task costs a
+        # python-worker round-trip, so low-latency setups may prefer
+        # fewer, larger scoring tasks)
+        self.score_width: int | None = None
 
         # tombstones (plans/tombstones.py): adjust N/avgdl to the LIVE
         # corpus exactly — n_deleted/deleted_len are exact integers from
@@ -432,16 +457,73 @@ class IndexReader:
         # driver-side, bit-exact with F.pmod(F.xxhash64(term), B)
         return {t: spark_pmod_bucket(t, self.term_buckets) for t in terms}
 
+    def _sidecar_bc(self):
+        """The doclens sidecar as a per-reader Spark broadcast:
+        {segment_id: (start_doc_id, lens_blob)}. Built lazily from one
+        driver-side pyarrow read, shipped once, reused by every query —
+        replaces two per-query joins (semi-join prune + block_no=0
+        attach) and their broadcast-build jobs. Guarded by on-disk size:
+        past ``_SIDECAR_BC_MAX_BYTES`` (≈200M docs at ~1.2 B/doc) the
+        reader keeps the join plan, which scales to 10^12 docs.
+        Returns None when too big (or unreadable)."""
+        if self._sidecar_cache is None:
+            root = self.dir / "doclens/data"
+            try:
+                size = sum(
+                    f.stat().st_size for f in root.rglob("*.parquet")
+                )
+                if size > _SIDECAR_BC_MAX_BYTES:
+                    self._sidecar_cache = (None,)
+                else:
+                    import pyarrow.dataset as ds
+
+                    tbl = ds.dataset(str(root), format="parquet").to_table(
+                        columns=["segment_id", "start_doc_id", "lens"]
+                    )
+                    m = {
+                        int(s): (int(st), ln)
+                        for s, st, ln in zip(
+                            tbl["segment_id"].to_pylist(),
+                            tbl["start_doc_id"].to_pylist(),
+                            tbl["lens"].to_pylist(),
+                        )
+                    }
+                    self._sidecar_cache = (
+                        self.spark.sparkContext.broadcast(m),
+                    )
+            except OSError:
+                self._sidecar_cache = (None,)
+        return self._sidecar_cache[0]
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Per-term global df. Driver-side pyarrow read of the pruned
+        term_stats buckets (directory pruning on term_bucket, row-group
+        min/max pruning on term — files are term-sorted) — a few KB and
+        zero Spark jobs regardless of corpus size. The dataset handle
+        (file listing) builds once per reader."""
         if not terms:
             return {}
         buckets = self._buckets_for(terms)
-        pred = F.col("term_bucket").isin(
-            list(set(buckets.values()))
-        ) & F.col("term").isin(terms)
-        rows = self._term_stats.where(pred).collect()
-        dfs = {r["term"]: int(r["df"]) for r in rows}
+        import pyarrow.dataset as ds
+
+        if self._ts_dataset is None:
+            self._ts_dataset = ds.dataset(
+                str(self.dir / "term_stats/data"),
+                format="parquet",
+                partitioning="hive",
+            )
+        filt = ds.field("term_bucket").isin(
+            sorted(set(buckets.values()))
+        ) & ds.field("term").isin(terms)
+        tbl = self._ts_dataset.to_table(columns=["term", "df"], filter=filt)
+        dfs = {
+            t: int(d)
+            for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+        }
         if self._del_termdf is not None:
+            pred = F.col("term_bucket").isin(
+                list(set(buckets.values()))
+            ) & F.col("term").isin(terms)
             for r in self._del_termdf.where(pred).collect():
                 if r["term"] in dfs:
                     dfs[r["term"]] -= int(r["df_delta"])
@@ -471,12 +553,82 @@ class IndexReader:
         doclens is pruned to segments that actually hold query-term
         postings first — at 10^12 docs the sidecar is ~10^8 rows, while
         the pruned segment list is tiny (broadcast semi-join, no
-        shuffle)."""
+        shuffle).
+
+        Latency fast path (round 6): without tombstones, the per-query df
+        folds in as a LITERAL map (driver-side pyarrow term_stats read —
+        no broadcast-build job) and the doclens sidecar ships once per
+        reader as a Spark broadcast keyed by segment_id (when it fits —
+        ``_SIDECAR_BC_MAX_BYTES``), so a search plan is scan → groupBy →
+        score: one exchange, zero joins, zero broadcast-subquery jobs
+        (was 6 jobs/query, ~40% of p50 on the bench index). Values are
+        identical — same df ints, same lens blobs — only the delivery
+        changes; the tombstone path keeps the proven join plan."""
         buckets = self._buckets_for(terms)
         bucket_pred = F.col("term_bucket").isin(
             list(set(buckets.values()))
         ) & F.col("term").isin(terms)
         postings = self._postings.where(bucket_pred)
+        N, avgdl, bscale = self.N, self.avgdl, self.bound_scale
+        if self._del_ids is None:
+            bc = self._sidecar_bc()
+            if bc is not None:
+                dfs = self.term_dfs(terms)
+                if dfs:
+                    df_map = F.create_map(
+                        *[
+                            x
+                            for t in sorted(dfs)
+                            for x in (F.lit(t), F.lit(int(dfs[t])))
+                        ]
+                    )
+                    df_col = df_map[F.col("term")].cast("long")
+                else:
+                    # no query term exists in the index — the pruned scan
+                    # yields zero rows anyway; a null literal keeps the
+                    # plan shape (pinned pruning contracts) without a map
+                    df_col = F.lit(None).cast("long")
+                lit_joined = postings.withColumn("df", df_col)
+
+                def score_bc(pdf: pd.DataFrame) -> pd.DataFrame:
+                    ent = bc.value.get(int(pdf["segment_id"].iloc[0]))
+                    if ent is None:
+                        return pd.DataFrame(
+                            {
+                                "doc_id": pd.Series(dtype="int64"),
+                                "score": pd.Series(dtype="float64"),
+                            }
+                        )
+                    side = pd.DataFrame(
+                        {"start_doc_id": [ent[0]], "lens": [ent[1]]}
+                    )
+                    return _score_segment(
+                        pdf, side, N, avgdl, k, bound_scale=bscale,
+                        after=after, per_term_round=per_term_round,
+                    )
+
+                # pin the scoring exchange's width: the pruned shuffle is
+                # ~1 MB, so AQE's byte-based coalescing folds it to ONE
+                # partition and every segment scores serially in one
+                # python task (measured: the whole post-exchange stage =
+                # one 0.6-0.8 s task). An explicit repartition on the
+                # group key is exempt from AQE coalescing and the groupBy
+                # reuses it (same key → no second exchange, guide §2.4);
+                # width = min(cores, segments) affects scheduling only —
+                # per-segment scores are partitioning-independent.
+                n_score = max(
+                    1,
+                    min(
+                        self.score_width
+                        or self.spark.sparkContext.defaultParallelism,
+                        -(-len(bc.value) // _SEGMENTS_PER_SCORE_TASK),
+                    ),
+                )
+                return (
+                    lit_joined.repartition(n_score, "segment_id")
+                    .groupBy("segment_id")
+                    .applyInPandas(score_bc, TOPK_SCHEMA)
+                )
         stats = self._term_stats.where(bucket_pred).select("term", "df")
         if self._del_termdf is not None:
             # exact post-delete df: stored df minus docs-containing-term

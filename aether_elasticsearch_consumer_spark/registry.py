@@ -41,8 +41,38 @@ def oracle_sql() -> dict[str, str]:
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 
+# -- scale-adaptive scan parallelism ---------------------------------------
+# The driver tables are single-row-group local parquet files: Spark cannot
+# split them, so every scan runs 1-2 tasks no matter how many cores exist
+# (guide §2.5 input skew / §6 input splits). For files big enough that
+# per-row compute dominates, a round-robin repartition buys full-width
+# parallelism for ~one small exchange. The partition count derives from
+# INPUT BYTES ONLY — never from the core count — so the row→partition
+# assignment (and with it every float accumulation order) is reproducible
+# across machines; small files (the driver's correctness SFs) stay
+# single-partition, byte-identical to the round-5 proven state. At real
+# (100 TB) scale files arrive multi-row-group and splittable, and the
+# cap keeps this a no-op-sized exchange there too.
+_SPLIT_MIN_BYTES = 512 * 1024
+_SPLIT_TARGET_BYTES = 64 * 1024
+_SPLIT_CAP = 64
+
+
+def _scan(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    try:
+        import os
+
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if size < _SPLIT_MIN_BYTES:
+        return df
+    return df.repartition(min(_SPLIT_CAP, int(size // _SPLIT_TARGET_BYTES)))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan(spark, f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,7 +40,31 @@ def test_search_plan_prunes_and_broadcasts(reader):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:300]
     assert "term" in pushed and ("In(" in pushed or "EqualTo" in pushed)
-    # the df lookup folds in as a broadcast, never a shuffle join
+    # round 6: the per-query df folds in as a LITERAL map (driver-side
+    # term_stats read) and the doclens sidecar ships as a broadcast
+    # variable — a tombstone-free search plan has NO join and exactly one
+    # exchange (the pinned-width scoring repartition)
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_search_plan_with_deletes_keeps_join_shape(spark, tmp_path_factory):
+    """The tombstone path must keep the proven broadcast-join plan: df
+    broadcast + block_no=0 sidecar attach, never a shuffle join."""
+    from aether_elasticsearch_consumer_spark.plans.tombstones import (
+        apply_deletes,
+    )
+
+    root = tmp_path_factory.mktemp("planprops_del")
+    idx = str(root / "idx")
+    IndexBuilder(
+        spark, idx, docs_per_segment=128, term_buckets=8
+    ).build(webtext_df(spark, 300, partitions=4), fingerprint_extra="ppd")
+    docs = spark.read.parquet(f"{idx}/docs/data").select("doc_id").limit(3)
+    apply_deletes(spark, idx, docs)
+    rd = IndexReader(spark, idx)
+    assert rd._del_ids is not None
+    plan = _plan(rd.search("keta gera", k=5))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
