@@ -61,6 +61,12 @@ DEFAULT_TERM_BUCKETS = 16
 # the saved shuffle can be A/B-measured in one session; never set in code
 _FORCE_RANGE_EXCHANGE = False
 
+# A/B toggle for the round-6 map-side tf pre-aggregation (see
+# postings_stage): True forces the old token-instance shuffle so the
+# byte-identity of both paths can be asserted in one session
+# (tests/test_assembly_edges.py); never set in production code
+_FORCE_TOKEN_LEVEL = False
+
 # one row per 128-posting block, fully flat — rows build from numpy arrays
 # with zero per-row Python objects, and the query side reads plain columns
 POSTINGS_SCHEMA = T.StructType(
@@ -120,6 +126,71 @@ DL_BITS = 20  # doc_len < 2^20 packs into the low bits of one int64;
 DL_MASK = (1 << DL_BITS) - 1
 
 
+TOKEN_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("packed", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
+
+def make_token_pairs_arrow(profile: str = "ascii"):
+    """``(packed, text)`` batches → ``(packed, term, tf)`` rows: the SPEC
+    tokenizer (``tokenize_py`` — bit-identical to the Column tokenizer,
+    pinned by the oracle-parity suite) plus a per-batch
+    factorize/lexsort/run-length, all numpy.
+
+    Round-6 shuffle win (guide §2.3 "aggregate before you shuffle", §4.2
+    native code inside the UDF): the postings exchange used to carry one
+    row per TOKEN INSTANCE (103M rows on the 400k-doc bench corpus) and
+    count tf reduce-side; distinct (doc, term) pairs are 0.58× of that,
+    so tf-counting map-side drops ~42% of the rows and string bytes from
+    the build's one wide shuffle and from the reduce-side lexsort/Arrow
+    feed. A pure-Column rewrite (array_sort + HOF run-length) was tried
+    first and measured 2.25× SLOWER end-to-end — interpreted per-element
+    lambda evaluation over 10^8 tokens dwarfs the shuffle savings — so
+    this is the Arrow path; per-doc regex is the tokenizer spec itself,
+    everything after it is batch-vectorized."""
+    from ..functions.tokenizer import tokenize_py
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            packed = batch.column("packed").to_numpy(zero_copy_only=False)
+            toks = [tokenize_py(t, profile) for t in batch.column("text").to_pylist()]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if not total:
+                continue
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for t in toks:
+                flat[off : off + len(t)] = t
+                off += len(t)
+            codes, uniq = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((codes, doc_idx))
+            c, d = codes[order], doc_idx[order]
+            starts = np.empty(len(c), dtype=bool)
+            starts[0] = True
+            np.not_equal(c[1:], c[:-1], out=starts[1:])
+            starts[1:] |= d[1:] != d[:-1]
+            s_idx = np.flatnonzero(starts)
+            tf = np.diff(np.append(s_idx, len(c))).astype(np.int32)
+            yield pa.record_batch(
+                {
+                    "packed": pa.array(packed[d[s_idx]], pa.int64()),
+                    "term": pa.array(uniq[c[s_idx]], pa.string()),
+                    "tf": pa.array(tf, pa.int32()),
+                }
+            )
+
+    return gen
+
+
 def _assemble_postings_arrow(
     tbl: "pa.Table", avgdl: float, dps: int,
     code_dict: tuple[np.ndarray, np.ndarray] | None = None,
@@ -163,6 +234,15 @@ def _assemble_postings_arrow(
         if "pos" in tbl.schema.names
         else None
     )
+    # tf-preagg mode (round 6): rows arrive as (doc, term, tf) POSTINGS
+    # (map-side run-length, see doc_term_tf_pairs) — no reduce-side tf
+    # counting, 0.58× the rows through the sort. Mutually exclusive with
+    # positions (those need the token-level stream).
+    tf_in = (
+        tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "tf" in tbl.schema.names
+        else None
+    )
 
     if pos_all is None:
         order = np.lexsort((doc_ids_all, codes))
@@ -176,17 +256,25 @@ def _assemble_postings_arrow(
     pos_sorted = pos_all[order] if pos_all is not None else None
     tb_sorted = tbs[order] if tbs is not None else None
 
-    # posting boundaries: first token of each (term, doc) run → tf counts
     n_tok = len(c_sorted)
-    is_start = np.empty(n_tok, dtype=bool)
-    is_start[0] = True
-    np.not_equal(c_sorted[1:], c_sorted[:-1], out=is_start[1:])
-    is_start[1:] |= d_sorted[1:] != d_sorted[:-1]
-    p_start_tok = np.flatnonzero(is_start)
-    tfs = np.diff(np.append(p_start_tok, n_tok))
-    p_codes = c_sorted[p_start_tok]
-    p_docs = d_sorted[p_start_tok]
-    p_dls = l_sorted[p_start_tok].astype(np.float64)
+    if tf_in is not None:
+        # one row per posting already: boundaries are trivial
+        p_start_tok = np.arange(n_tok, dtype=np.int64)
+        tfs = tf_in[order]
+        p_codes = c_sorted
+        p_docs = d_sorted
+        p_dls = l_sorted.astype(np.float64)
+    else:
+        # posting boundaries: first token of each (term, doc) run → tf
+        is_start = np.empty(n_tok, dtype=bool)
+        is_start[0] = True
+        np.not_equal(c_sorted[1:], c_sorted[:-1], out=is_start[1:])
+        is_start[1:] |= d_sorted[1:] != d_sorted[:-1]
+        p_start_tok = np.flatnonzero(is_start)
+        tfs = np.diff(np.append(p_start_tok, n_tok))
+        p_codes = c_sorted[p_start_tok]
+        p_docs = d_sorted[p_start_tok]
+        p_dls = l_sorted[p_start_tok].astype(np.float64)
     p_segs = p_docs // dps
     P = len(p_codes)
 
@@ -536,12 +624,24 @@ class IndexBuilder:
                     ),
                 )
                 pos_cols = ["pos"]
-            else:
+            elif _FORCE_TOKEN_LEVEL:
                 exploded = docs.select(
                     packed_col,
                     F.explode(tokenize_col("text", self.profile)).alias("term"),
                 )
                 pos_cols = []
+            else:
+                # map-side tf run-length (make_token_pairs_arrow): the
+                # wide shuffle carries one row per (doc, term) with its
+                # tf — 0.58× the rows of the token-instance stream;
+                # output blocks are byte-identical (pinned in
+                # tests/test_assembly_edges.py). Explicit 2-column select
+                # before the opaque Arrow stage keeps the scan pruned
+                # (guide §4.1).
+                exploded = docs.select(packed_col, "text").mapInArrow(
+                    make_token_pairs_arrow(self.profile), TOKEN_PAIRS_SCHEMA
+                )
+                pos_cols = ["tf"]
 
             code_dict = None
             if self.term_coding == "dict":

@@ -65,3 +65,44 @@ def test_delta_restart_per_block():
         ids, _ = decode_block(out["doc_deltas"][i].as_py(), out["tfs"][i].as_py())
         all_ids.extend(ids)
     assert all_ids == [i * 3 for i in range(300)]
+
+
+def test_tf_preagg_build_is_byte_identical(spark, tmp_path_factory):
+    """Round 6: the map-side tf pre-aggregation (make_token_pairs_arrow —
+    the wide shuffle carries (doc, term, tf) postings instead of token
+    instances) must produce byte-identical postings/doclens/term_stats to
+    the token-level path."""
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    import aether_elasticsearch_consumer_spark.plans.index_build as ib
+
+    root = tmp_path_factory.mktemp("preagg")
+    src = webtext_df(spark, 800, partitions=4)
+    src.write.mode("overwrite").parquet(str(root / "src"))
+    src = spark.read.parquet(str(root / "src"))
+    old_flag = ib._FORCE_TOKEN_LEVEL
+    try:
+        ib._FORCE_TOKEN_LEVEL = True
+        ib.IndexBuilder(
+            spark, str(root / "old"), docs_per_segment=256, term_buckets=8
+        ).build(src, fingerprint_extra="old")
+        ib._FORCE_TOKEN_LEVEL = False
+        ib.IndexBuilder(
+            spark, str(root / "new"), docs_per_segment=256, term_buckets=8
+        ).build(src, fingerprint_extra="new")
+    finally:
+        ib._FORCE_TOKEN_LEVEL = old_flag
+    for part in ("postings", "term_stats"):
+        key = ["term_bucket", "term", "segment_id", "block_no"]
+        if part == "term_stats":
+            key = ["term_bucket", "term"]
+        a = (
+            spark.read.parquet(str(root / f"old/{part}/data"))
+            .orderBy(*key)
+            .collect()
+        )
+        b = (
+            spark.read.parquet(str(root / f"new/{part}/data"))
+            .orderBy(*key)
+            .collect()
+        )
+        assert len(a) == len(b) and a == b, part
