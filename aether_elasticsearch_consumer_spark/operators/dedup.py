@@ -46,11 +46,22 @@ def exact_dedup(
     df: DataFrame, content_cols: list[str], keep_by: str
 ) -> DataFrame:
     """Keep one row per distinct content (min ``keep_by`` wins — stable).
-    One hash-shuffle; the md5 is computed JVM-side."""
+
+    One hash-shuffle via a window min keyed on the content hash: the
+    round-5 groupBy+self-join form scanned (and md5'd) the input twice
+    and shuffled it twice; the window form moves the rows once and the
+    md5 runs once per row (round 6, guide §2.4 — two operations keyed
+    the same way share one exchange)."""
+    from pyspark.sql import Window
+
     h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
-    w = df.withColumn("_h", h)
-    winners = w.groupBy("_h").agg(F.min(keep_by).alias(keep_by))
-    return w.join(winners, ["_h", keep_by], "inner").drop("_h")
+    w = Window.partitionBy("_h")
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_min", F.min(keep_by).over(w))
+        .where(F.col(keep_by) == F.col("_min"))
+        .drop("_h", "_min")
+    )
 
 
 def shingle_hashes(
@@ -189,17 +200,30 @@ def minhash_lsh_pairs(
     # they would re-evaluate the per-gram hash fold inside each of the
     # n_hashes minhash expressions after project collapse.
     grams = shingle_hashes(F.col(text_col), shingle_n, profile, hashed)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        grams.alias("sh"),
-        (
-            grams
-            if hashed
-            else F.transform(
-                grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE_P))
-            )
-        ).alias("shi"),
-    ).persist()
+    # bind the gram expression ONCE: referencing it from both the sh and
+    # shi output columns re-evaluated the whole tokenize+shingle HOF tree
+    # per column (round 6, measured ~92 → ~55 core-s on the base stage)
+    bound = F.element_at(
+        F.transform(
+            F.array(grams),
+            lambda g: F.struct(
+                g.alias("sh"),
+                (
+                    g
+                    if hashed
+                    else F.transform(
+                        g, lambda x: F.pmod(F.xxhash64(x), F.lit(MERSENNE_P))
+                    )
+                ).alias("shi"),
+            ),
+        ),
+        1,
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), bound.alias("_b"))
+        .select("id", F.col("_b.sh").alias("sh"), F.col("_b.shi").alias("shi"))
+        .persist()
+    )
     sig = base.select(
         "id", minhash_signature_arrow(n_hashes)(F.col("shi")).alias("sig")
     )
@@ -219,14 +243,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # cache the band table: the self-join's two sides (plus the optional
-    # bucket-size semijoin) otherwise EACH re-execute the whole signature
-    # branch — the pandas-UDF minhash ran ~5× per query (measured 11.7 s
-    # → ~1 s at sf0.1). Lazy persist, no eager count: cache blocks are
-    # computed once under the block lock whichever side gets there first,
-    # and skipping the extra materialization barrier keeps the cold-path
-    # (python-worker spin-up) overlapped with the join stages.
-    banded = banded.persist()
+    # materialize the band table once: the self-join's two sides (plus
+    # the optional bucket-size semijoin) otherwise EACH re-execute the
+    # whole signature branch — the pandas-UDF minhash ran ~5× per query
+    # (measured 11.7 s → ~1 s at sf0.1). Round 6: eager localCheckpoint
+    # instead of lazy persist — the banded lineage (sig UDF + 32-struct
+    # band explode) re-serialized into every downstream stage's task
+    # closure and re-planned per AQE stage, costing ~0.9 s of driver
+    # time per join-side job; the checkpoint truncates it to a trivial
+    # scan. Rows are (id, band, bucket) only — memory is bounded the
+    # same as the persist was.
+    banded = banded.localCheckpoint(eager=True)
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bucket")
@@ -246,11 +273,34 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # reused three times below (two id projections + the join spine);
+        # checkpointing the tiny pair set stops each use re-running the
+        # band self-join
+        .localCheckpoint(eager=True)
     )
-    pairs = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(
-        base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+    # candidate re-attach (round 6, guide §8 "move big rows once"): prune
+    # base to the CANDIDATE docs with id-only semi-joins first — AQE
+    # broadcasts the id set when small, shuffles two int64 columns when
+    # not — so the multi-KB gram arrays of non-candidates never move;
+    # then pin the verify exchange width (AQE's byte-based coalescing
+    # otherwise folds the small candidate shuffle to ~4 tasks,
+    # serializing the exact-jaccard verification) and hash-join (a
+    # sort-merge join would SORT the gram arrays; hashing touches only
+    # the int key). Measured: 2 × 2.5 s verify stages → sub-second, and
+    # shuffle volume drops from 2 × full-corpus grams to candidates only.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh_a = (
+        base.join(cand.select(F.col("id_a").alias("id")).distinct(), "id", "left_semi")
+        .select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    )
+    sh_b = (
+        base.join(cand.select(F.col("id_b").alias("id")).distinct(), "id", "left_semi")
+        .select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    )
+    pairs = cand.repartition(par, "id_a").join(
+        sh_a.repartition(par, "id_a").hint("SHUFFLE_HASH"), "id_a"
+    ).repartition(par, "id_b").join(
+        sh_b.repartition(par, "id_b").hint("SHUFFLE_HASH"), "id_b"
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -267,7 +317,8 @@ def minhash_lsh_pairs(
     # leaking across calls
     out = result.localCheckpoint(eager=True)
     base.unpersist()
-    banded.unpersist()
+    # banded's checkpoint blocks free with its RDD via the ContextCleaner
+    # once this frame returns (same lifecycle as `out`'s blocks)
     return out
 
 

@@ -1808,8 +1808,15 @@ class IndexReader:
                 }
             )
 
+        # pin the decode width: AQE coalesces the small posting shuffle to
+        # one partition and the whole varbyte decode runs serially (same
+        # fix as the search scoring exchange — execution width only,
+        # values unchanged)
+        par = self.spark.sparkContext.defaultParallelism
         return self._strip_deleted(
-            postings.groupBy("segment_id").applyInPandas(collect_pos, out_schema)
+            postings.repartition(par, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(collect_pos, out_schema)
         )
 
     def highlight(self, term: str, window: int = 5) -> DataFrame:
@@ -1828,25 +1835,40 @@ class IndexReader:
         if len(toks_q) != 1:
             raise ValueError("highlight takes exactly one analyzed term")
         term = toks_q[0]
+        par = self.spark.sparkContext.defaultParallelism
         first = self.term_positions(term).select(
             "doc_id", (F.array_min("positions") + 1).alias("p")  # 1-based
-        )
+        ).repartition(par, "doc_id")
+        # the explicit repartition pins the join width: AQE otherwise
+        # coalesces the small exchanges to one partition and the
+        # per-matching-doc tokenize+slice projection runs serially
         docs = self.spark.read.parquet(str(self.dir / "docs/data")).select(
             "doc_id", "text"
         )
         toks = tokenize_col("text", self.profile)
-        start = F.greatest(F.lit(1), F.col("p") - window)
-        prefix = F.when(
-            F.col("p") > 1, F.slice(toks, start, F.col("p") - start)
-        ).otherwise(F.array().cast("array<string>"))
         mid = F.array(F.concat(F.lit("<em>"), F.lit(term), F.lit("</em>")))
-        suffix = F.slice(toks, F.col("p") + 1, window)
+
+        def frag(s):  # tokenize bound once (slice reads are field refs)
+            p = s["p"]
+            start = F.greatest(F.lit(1), p - window)
+            prefix = F.when(
+                p > 1, F.slice(s["ts"], start, p - start)
+            ).otherwise(F.array().cast("array<string>"))
+            suffix = F.slice(s["ts"], p + 1, window)
+            return F.array_join(F.concat(prefix, mid, suffix), " ")
+
         return (
             first.join(docs, "doc_id")
             .select(
                 "doc_id",
-                F.array_join(
-                    F.concat(prefix, mid, suffix), " "
+                F.element_at(
+                    F.transform(
+                        F.array(
+                            F.struct(toks.alias("ts"), F.col("p").alias("p"))
+                        ),
+                        frag,
+                    ),
+                    1,
                 ).alias("fragment"),
             )
         )

@@ -488,10 +488,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort BEFORE the tokenize projection: a Sort above a computed
+    # Project re-executes it during range-partition sampling (round 6 —
+    # text_quality ran its whole formula twice); projecting after the
+    # sort keeps one evaluation, same rows, same order
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", token_count("text").alias("n_tokens"))
+        .select("doc_id", "text")
         .orderBy("doc_id")
+        .select("doc_id", token_count("text").alias("n_tokens"))
     )
 
 
@@ -506,8 +511,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (case/punct-insensitive identity)."""
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .orderBy("doc_id")  # sort-then-project: see text_token_count
         .select("doc_id", content_fingerprint("text").alias("fingerprint"))
-        .orderBy("doc_id")
     )
 
 
@@ -552,8 +558,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID heuristic."""
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .orderBy("doc_id")  # sort-then-project: see text_token_count
         .select("doc_id", lang_id("text").alias("lang_guess"))
-        .orderBy("doc_id")
     )
 
 
@@ -581,8 +588,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document quality score (length/alpha/stopword/word-len)."""
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .orderBy("doc_id")  # sort-then-project: see text_token_count
         .select("doc_id", quality_score("text").alias("quality"))
-        .orderBy("doc_id")
     )
 
 
