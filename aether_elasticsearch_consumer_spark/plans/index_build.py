@@ -191,6 +191,24 @@ def make_token_pairs_arrow(profile: str = "ascii"):
     return gen
 
 
+def _contiguous_binary(buf, off: np.ndarray) -> "pa.Array":
+    """Binary array whose values are contiguous slices of ``buf`` at the
+    int64 ``off`` byte boundaries (len n+1) — built zero-copy from an
+    offsets buffer instead of a python loop of bytes slices. Falls back
+    to the slice loop past the 2 GiB int32-offset envelope (partitions
+    are sized ~2M tokens, far below it)."""
+    if len(off) and int(off[-1]) > np.iinfo(np.int32).max:
+        return pa.array(
+            [bytes(buf[off[i] : off[i + 1]]) for i in range(len(off) - 1)],
+            type=pa.binary(),
+        )
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(off) - 1,
+        [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(buf)],
+    )
+
+
 def _assemble_postings_arrow(
     tbl: "pa.Table", avgdl: float, dps: int,
     code_dict: tuple[np.ndarray, np.ndarray] | None = None,
@@ -304,15 +322,19 @@ def _assemble_postings_arrow(
     impact = tfs / (tfs + K1 * (1.0 - BM25_B + BM25_B * p_dls / avgdl))
     b_max_impact = np.maximum.reduceat(impact, b_starts)
 
-    # batch varbyte encode + slice by cumulative byte lengths
+    # batch varbyte encode; per-block payloads are CONTIGUOUS slices of
+    # the partition buffer, so the binary columns build zero-copy from an
+    # offsets vector over the one buffer (guide §4.2 — replaces three
+    # python slice loops of n_blocks iterations each)
     doc_buf, doc_lens = varbyte_encode_with_lengths(doc_vals)
     tf_buf, tf_lens = varbyte_encode_with_lengths(tfs - 1)
     doc_off = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(doc_lens, out=doc_off[1:])
     tf_off = np.zeros(P + 1, dtype=np.int64)
     np.cumsum(tf_lens, out=tf_off[1:])
-    doc_blobs = [doc_buf[doc_off[s] : doc_off[e]] for s, e in zip(b_starts, b_ends)]
-    tf_blobs = [tf_buf[tf_off[s] : tf_off[e]] for s, e in zip(b_starts, b_ends)]
+    b_bounds = np.append(b_starts, P)
+    doc_blobs = _contiguous_binary(doc_buf, doc_off[b_bounds])
+    tf_blobs = _contiguous_binary(tf_buf, tf_off[b_bounds])
 
     if pos_sorted is not None:
         # token-level position stream: absolute at each posting start,
@@ -325,12 +347,11 @@ def _assemble_postings_arrow(
         ptok_off = np.zeros(n_tok + 1, dtype=np.int64)
         np.cumsum(pos_lens, out=ptok_off[1:])
         pst_ext = np.append(p_start_tok, n_tok)
-        pos_blobs = [
-            pos_buf[ptok_off[pst_ext[s]] : ptok_off[pst_ext[e]]]
-            for s, e in zip(b_starts, b_ends)
-        ]
+        pos_blobs = _contiguous_binary(pos_buf, ptok_off[pst_ext[b_bounds]])
     else:
-        pos_blobs = [b""] * len(b_starts)
+        pos_blobs = _contiguous_binary(
+            b"", np.zeros(len(b_starts) + 1, dtype=np.int64)
+        )
 
     # per-block term linkage
     b_term_idx = np.searchsorted(t_starts, b_starts, side="right") - 1
@@ -356,9 +377,9 @@ def _assemble_postings_arrow(
             "last_doc_id": pa.array(p_docs[b_ends - 1]),
             "count": pa.array(b_lens),
             "max_impact": pa.array(b_max_impact),
-            "doc_deltas": pa.array(doc_blobs, type=pa.binary()),
-            "tfs": pa.array(tf_blobs, type=pa.binary()),
-            "positions": pa.array(pos_blobs, type=pa.binary()),
+            "doc_deltas": doc_blobs,
+            "tfs": tf_blobs,
+            "positions": pos_blobs,
         }
     )
 
@@ -735,7 +756,14 @@ class IndexBuilder:
             (
                 tokens.repartition(n_parts, seg_key, bucket_expr)
                 .mapInArrow(assemble_partition, POSTINGS_SCHEMA)
-                .sortWithinPartitions("term", "segment_id", "block_no")
+                # leading term_bucket: output ordering starts with the
+                # partition column, so FileFormatWriter reuses this sort
+                # instead of inserting its own partition-column sort on
+                # top (round 6); per-file (term, segment, block) order is
+                # unchanged
+                .sortWithinPartitions(
+                    "term_bucket", "term", "segment_id", "block_no"
+                )
                 .write.mode("overwrite")
                 .partitionBy("term_bucket")
                 .parquet(tmp + "/data")

@@ -262,7 +262,10 @@ def agg_count_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ingest_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: message filter — value ∈ filter_pass_values
     (/root/reference/consumer/app/artifacts.py:419-431)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # _scan: the filter pushes below the parallelizing exchange, so only
+    # the two selected columns of matching rows shuffle; the sort then
+    # runs wide instead of on the unsplittable single row group
+    o = _scan(spark, f"{sf_dir}/orders.parquet")
     return (
         o.where(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
         .select("o_orderkey", "o_orderpriority")
