@@ -453,6 +453,15 @@ class IndexReader:
             return df
         return df.join(self._del_ids, "doc_id", "left_anti")
 
+    def _by_segment(self, postings: DataFrame) -> DataFrame:
+        """Pin the per-segment decode exchange to cluster width: AQE's
+        byte-based coalescing folds the few-MB pruned posting shuffles to
+        a single partition, serializing every applyInPandas decode
+        (round 6 — execution width only, values unchanged)."""
+        return postings.repartition(
+            self.spark.sparkContext.defaultParallelism, "segment_id"
+        )
+
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
         # driver-side, bit-exact with F.pmod(F.xxhash64(term), B)
         return {t: spark_pmod_bucket(t, self.term_buckets) for t in terms}
@@ -856,7 +865,9 @@ class IndexReader:
             return pd.DataFrame({"doc_id": acc.astype(np.int64)})
 
         return self._strip_deleted(
-            postings.groupBy("segment_id").applyInPandas(collect_ids, out_schema)
+            self._by_segment(postings)
+            .groupBy("segment_id")
+            .applyInPandas(collect_ids, out_schema)
         )
 
     def expand_prefix(self, prefix: str, max_terms: int = 1024) -> list[str]:
@@ -931,9 +942,9 @@ class IndexReader:
             )
 
         return self._strip_deleted(
-            postings.groupBy("segment_id").applyInPandas(
-                collect_pairs, out_schema
-            )
+            self._by_segment(postings)
+            .groupBy("segment_id")
+            .applyInPandas(collect_pairs, out_schema)
         )
 
     def term_freqs(self, terms: list[str]) -> DataFrame:
@@ -990,9 +1001,9 @@ class IndexReader:
             )
 
         return self._strip_deleted(
-            postings.groupBy("segment_id").applyInPandas(
-                collect_tfs, out_schema
-            )
+            self._by_segment(postings)
+            .groupBy("segment_id")
+            .applyInPandas(collect_tfs, out_schema)
         )
 
     def bool_docs(
@@ -2344,9 +2355,9 @@ class IndexReader:
             return pd.DataFrame(out)
 
         return self._strip_deleted(
-            postings.groupBy("segment_id").applyInPandas(
-                collect_phrase, out_schema
-            )
+            self._by_segment(postings)
+            .groupBy("segment_id")
+            .applyInPandas(collect_phrase, out_schema)
         )
 
 
