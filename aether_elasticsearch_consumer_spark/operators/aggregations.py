@@ -529,18 +529,26 @@ def bucket_sort_agg(
     from/size).  Offset pagination over the REDUCED bucket table — the
     one place offset-limit is scale-safe because bucket counts are
     bounded by the agg, not the corpus."""
-    out = buckets.orderBy(*sort_cols)
     if from_:
         # Spark has no native OFFSET on DataFrames; the bucket list is
-        # post-reduction small, so a row_number filter stays cheap
+        # post-reduction small, so a row_number filter stays cheap. The
+        # whole from/size page is an explicit __rn range (round-5
+        # advice): the old where+limit relied on Spark implicitly
+        # preserving the Window's order through the trailing limit,
+        # which is not a guaranteed contract.
         from pyspark.sql import Window
 
         w = Window.orderBy(*sort_cols)
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") > from_)
+        cond = F.col("__rn") > from_
+        if size is not None:
+            cond = cond & (F.col("__rn") <= from_ + size)
+        return (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .where(cond)
+            .orderBy(*sort_cols)
             .drop("__rn")
         )
+    out = buckets.orderBy(*sort_cols)
     if size is not None:
         out = out.limit(size)
     return out

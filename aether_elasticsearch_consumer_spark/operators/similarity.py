@@ -239,7 +239,12 @@ def sq8_topk(
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            codes = np.floor((mat - mn) / span * 255.0 + 0.5)
+            # clip: with a caller-supplied (stale/foreign) codebook,
+            # vectors outside its min/max would otherwise produce codes
+            # no real uint8 store could hold (round-5 advice)
+            codes = np.clip(
+                np.floor((mat - mn) / span * 255.0 + 0.5), 0.0, 255.0
+            )
             recon = mn + codes * span / 255.0
             ids, cos = _cosine_batch(
                 pdf[id_col].to_numpy().astype(np.int64), recon, q
@@ -269,7 +274,15 @@ def rrf_fuse(
 
     parts = []
     for df in rankings:
-        score_col = [c for c in df.columns if c != id_col][0]
+        others = [c for c in df.columns if c != id_col]
+        if len(others) != 1:
+            # round-5 advice: silently ranking by an arbitrary extra
+            # column is a correctness trap — demand (id, score) frames
+            raise ValueError(
+                f"rrf_fuse input must have exactly ({id_col}, <score>) "
+                f"columns, got {df.columns}"
+            )
+        score_col = others[0]
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
         parts.append(
             df.select(

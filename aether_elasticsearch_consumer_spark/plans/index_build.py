@@ -689,10 +689,14 @@ class IndexBuilder:
                     ((F.row_number().over(w) - 1).cast("long") * B
                      + F.col("term_bucket")),
                 )
-                vocab_pdf = coded.select("term", "code").toPandas()
-                if len(vocab_pdf) > self.max_vocab_broadcast:
+                # guard BEFORE collecting (round-5 verdict): at web-corpus
+                # vocabulary sizes the driver would OOM materializing the
+                # vocab just to discover it is over the threshold — one
+                # cheap distributed count decides first
+                if coded.count() > self.max_vocab_broadcast:
                     code_dict = None  # too big to broadcast — string path
                 else:
+                    vocab_pdf = coded.select("term", "code").toPandas()
                     order = np.argsort(vocab_pdf["code"].to_numpy())
                     codes_sorted = vocab_pdf["code"].to_numpy()[order]
                     terms_sorted = vocab_pdf["term"].to_numpy()[order]

@@ -4488,63 +4488,62 @@ def agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rest in their original relative order.  Output canon of every entry is
 # untouched; this only permutes dict insertion order.
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-sampled through round 4 (42) --
-    "fulltext_bool_msm",
-    "fulltext_phrase_prefix",
-    "agg_auto_date_histogram",
-    "agg_multi_terms",
-    "agg_weighted_avg",
-    "agg_date_range",
-    "fulltext_term_positions",
-    "fulltext_prefix_count",
-    "fulltext_bool_filter",
-    "fulltext_suggest",
-    "fulltext_suggest_phrase",
-    "fulltext_fuzzy_count",
-    "fulltext_wildcard_count",
-    "fulltext_upsert_requery",
-    "fulltext_query_string",
-    "fulltext_highlight",
-    "fulltext_highlight_query",
-    "fulltext_match_bool_prefix",
-    "fulltext_dis_max",
-    "fulltext_filtered_search",
-    "fulltext_highlight_fragments",
-    "fulltext_search_after",
-    "fulltext_collapse_lang",
-    "fulltext_collapse_inner_hits",
-    "fulltext_percolate",
-    "fulltext_more_like_this",
-    "geo_bbox_filter",
-    "geo_distance_filter",
-    "fulltext_agg_combo",
-    "fulltext_term_vectors",
-    "fulltext_rescore_phrase",
-    "dedup_connected_components",
-    "fulltext_analyze",
-    "fulltext_sort_by_field",
-    "fulltext_significant_text",
-    "fulltext_query_string_scored",
-    "fulltext_query_string_boost",
-    "fulltext_boosting_query",
-    "fulltext_function_score",
-    "fulltext_explain_doc",
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    # -- new in round 5 (never sampled by definition) --
-    "fulltext_multi_match",
-    "fulltext_multi_match_most",
-    "fulltext_slop_unordered",
-    "rel_has_child",
-    "rel_has_parent",
-    "fulltext_function_score_gauss",
-    "fulltext_combined_fields",
-    "fulltext_cross_fields",
-    # -- positions 50+: proven anchors (driver-green r1-4), then the
-    # rest in original order; the remaining round-5 entries rotate into
-    # the 0-49 window next round once this round's 50 have driver rows
+    # -- round-6 rotation (scripts/rotate_registry.py after
+    # CORRECTNESS_r05 landed 50/50 green): the 20 entries that STILL
+    # have no driver row anywhere in r1-r5 take positions 0-19 --
+    "fulltext_span_near",
+    "dedup_chunks",
+    "fulltext_hybrid_rrf",
+    "similarity_sq8_topk",
+    "dedup_contamination",
+    "pipeline_domain_mix",
+    "fulltext_intervals",
+    "text_repetition",
+    "text_pii_scrub",
+    "fulltext_rank_feature",
+    "agg_bucket_script_selector",
+    "agg_bucket_sort",
+    "agg_max_bucket",
+    "agg_mad",
+    "agg_boxplot",
+    "agg_t_test",
+    "agg_stats_bucket",
+    "agg_serial_diff",
+    "agg_geotile_grid",
+    "agg_normalize",
+    # -- window padding: the longest-unsampled green entries (oldest
+    # driver row first), re-proving rows that predate rounds 4-5's
+    # engine changes — including this round's optimized paths --
+    "fulltext_index_single_term",
+    "fulltext_index_topk",
+    "agg_composite_page",
+    "agg_percentile_ranks",
+    "agg_pipeline_movavg",
+    "agg_significant_terms",
+    "agg_top_hits",
+    "fulltext_phrase_scored",
+    "agg_adjacency_matrix",
+    "agg_cardinality",
+    "agg_count_metric",
+    "agg_date_histogram",
+    "agg_date_histogram_with_metric",
+    "agg_filters",
+    "agg_geohash_grid",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_quality_histogram",
+    "agg_range",
+    "agg_rare_terms",
+    "agg_stats_metric",
+    "agg_terms_missing_other",
+    "agg_terms_topn",
+    "agg_terms_with_metrics",
+    "autoviz_generated_table",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "fulltext_bm25_topk",
-    "fulltext_term_match",
 ]
 
 

@@ -106,3 +106,39 @@ def test_tf_preagg_build_is_byte_identical(spark, tmp_path_factory):
             .collect()
         )
         assert len(a) == len(b) and a == b, part
+
+
+def test_dict_vocab_guard_counts_before_collecting(spark, tmp_path_factory, monkeypatch):
+    """Round-5 verdict item: the dict-coding vocabulary guard must decide
+    via a distributed count BEFORE materializing the vocab on the driver
+    (a 10^8-term vocab would OOM the driver inside the old guard). With
+    max_vocab_broadcast below the vocab size, no toPandas may run and the
+    build must fall back to the string path (identical output)."""
+    from pyspark.sql import DataFrame
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
+    from aether_elasticsearch_consumer_spark.plans.index_build import IndexBuilder
+
+    root = tmp_path_factory.mktemp("vocabguard")
+    src = webtext_df(spark, 200, partitions=2)
+    src.write.mode("overwrite").parquet(str(root / "src"))
+    src = spark.read.parquet(str(root / "src"))
+    calls = []
+    orig = DataFrame.toPandas
+    monkeypatch.setattr(
+        DataFrame, "toPandas", lambda self: calls.append(1) or orig(self)
+    )
+    IndexBuilder(
+        spark, str(root / "idx"), docs_per_segment=128, term_buckets=4,
+        term_coding="dict", max_vocab_broadcast=5,
+    ).build(src, fingerprint_extra="vg")
+    assert not calls, "vocab was materialized despite exceeding the cap"
+    # fallback output matches a plain strings build
+    IndexBuilder(
+        spark, str(root / "idx2"), docs_per_segment=128, term_buckets=4
+    ).build(src, fingerprint_extra="vg2")
+    a = spark.read.parquet(str(root / "idx/postings/data")).orderBy(
+        "term_bucket", "term", "segment_id", "block_no").collect()
+    b = spark.read.parquet(str(root / "idx2/postings/data")).orderBy(
+        "term_bucket", "term", "segment_id", "block_no").collect()
+    assert a == b

@@ -14,7 +14,7 @@ from aether_elasticsearch_consumer_spark import registry
 # Entries with at least one driver row in CORRECTNESS_r01..r04 (from those
 # JSON files; frozen here so the test does not depend on gate artifacts
 # staying in the repo).
-_DRIVER_CHECKED_THROUGH_R4 = {
+_DRIVER_CHECKED_THROUGH_R5 = {
     "fulltext_bm25_topk", "fulltext_term_match", "fulltext_term_df",
     "fulltext_collection_stats", "fulltext_multiterm_and", "agg_terms_topn",
     "agg_histogram", "agg_count_metric", "ingest_filter_isin",
@@ -36,6 +36,24 @@ _DRIVER_CHECKED_THROUGH_R4 = {
     "fulltext_phrase_scored", "fulltext_phrase_slop", "fulltext_regexp",
     "agg_rare_terms", "agg_adjacency_matrix", "fulltext_span_first",
     "fulltext_terms_lookup",
+    # -- green in CORRECTNESS_r05 (round-6 rotation) --
+    "agg_auto_date_histogram", "agg_date_range", "agg_multi_terms",
+    "agg_weighted_avg", "dedup_connected_components", "fulltext_agg_combo",
+    "fulltext_analyze", "fulltext_bool_filter", "fulltext_bool_msm",
+    "fulltext_boosting_query", "fulltext_collapse_inner_hits", "fulltext_collapse_lang",
+    "fulltext_combined_fields", "fulltext_cross_fields", "fulltext_dis_max",
+    "fulltext_explain_doc", "fulltext_filtered_search", "fulltext_function_score",
+    "fulltext_function_score_gauss", "fulltext_fuzzy_count", "fulltext_highlight",
+    "fulltext_highlight_fragments", "fulltext_highlight_query", "fulltext_match_bool_prefix",
+    "fulltext_more_like_this", "fulltext_multi_match", "fulltext_multi_match_most",
+    "fulltext_percolate", "fulltext_phrase_prefix", "fulltext_prefix_count",
+    "fulltext_query_string", "fulltext_query_string_boost", "fulltext_query_string_scored",
+    "fulltext_rescore_phrase", "fulltext_search_after", "fulltext_significant_text",
+    "fulltext_slop_unordered", "fulltext_sort_by_field", "fulltext_suggest",
+    "fulltext_suggest_phrase", "fulltext_term_positions", "fulltext_term_vectors",
+    "fulltext_upsert_requery", "fulltext_wildcard_count", "geo_bbox_filter",
+    "geo_distance_filter", "rel_has_child", "rel_has_parent",
+    "similarity_ivf_recall", "similarity_lsh_recall",
 }
 
 
@@ -56,7 +74,7 @@ def test_first_50_maximizes_never_sampled_coverage():
     count as never-sampled and belong there too."""
     names = list(registry._REGISTRY)
     first50 = set(names[:50])
-    virgin = [n for n in names if n not in _DRIVER_CHECKED_THROUGH_R4]
+    virgin = [n for n in names if n not in _DRIVER_CHECKED_THROUGH_R5]
     stragglers = [n for n in virgin if n not in first50]
     # The window holds at most 50; only overflow beyond capacity is excused.
     assert len(stragglers) <= max(0, len(virgin) - 50), stragglers
