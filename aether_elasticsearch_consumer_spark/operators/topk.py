@@ -122,6 +122,9 @@ _SIDECAR_BC_MAX_BYTES = 256 * 1024 * 1024
 # parallelism cap and scale out normally
 _SEGMENTS_PER_SCORE_TASK = 8
 
+# fallback when an old stats sidecar predates the docs_per_segment column
+DEFAULT_DOCS_PER_SEGMENT_HINT = 8192
+
 
 def _select_topk(
     cand: np.ndarray, scores: np.ndarray, k: int
@@ -388,6 +391,11 @@ class IndexReader:
         # _score_segment); exactly 1.0 for a freshly-built index
         self.bound_scale = max(1.0, self.avgdl / build_avgdl)
         self.term_buckets = int(st["term_buckets"])
+        self.dps = (
+            int(st["docs_per_segment"])
+            if "docs_per_segment" in st.__fields__
+            else DEFAULT_DOCS_PER_SEGMENT_HINT
+        )
         self.profile = st["profile"]
         self.positions = (
             bool(st["positions"]) if "positions" in st.__fields__ else False
@@ -454,13 +462,22 @@ class IndexReader:
         return df.join(self._del_ids, "doc_id", "left_anti")
 
     def _by_segment(self, postings: DataFrame) -> DataFrame:
-        """Pin the per-segment decode exchange to cluster width: AQE's
-        byte-based coalescing folds the few-MB pruned posting shuffles to
-        a single partition, serializing every applyInPandas decode
-        (round 6 — execution width only, values unchanged)."""
-        return postings.repartition(
-            self.spark.sparkContext.defaultParallelism, "segment_id"
+        """Pin the per-segment decode exchange width: AQE's byte-based
+        coalescing folds the few-MB pruned posting shuffles to a single
+        partition, serializing every applyInPandas decode — but each
+        task also costs a python round-trip, so width derives from WORK
+        (segments / _SEGMENTS_PER_SCORE_TASK, same sizing as the
+        scorer) capped at cluster width. Execution width only, values
+        unchanged (round 6)."""
+        n_segments = max(1, -(-self.N // self.dps))
+        width = max(
+            1,
+            min(
+                self.spark.sparkContext.defaultParallelism,
+                -(-n_segments // _SEGMENTS_PER_SCORE_TASK),
+            ),
         )
+        return postings.repartition(width, "segment_id")
 
     def _buckets_for(self, terms: list[str]) -> dict[str, int]:
         # driver-side, bit-exact with F.pmod(F.xxhash64(term), B)
@@ -1819,13 +1836,8 @@ class IndexReader:
                 }
             )
 
-        # pin the decode width: AQE coalesces the small posting shuffle to
-        # one partition and the whole varbyte decode runs serially (same
-        # fix as the search scoring exchange — execution width only,
-        # values unchanged)
-        par = self.spark.sparkContext.defaultParallelism
         return self._strip_deleted(
-            postings.repartition(par, "segment_id")
+            self._by_segment(postings)
             .groupBy("segment_id")
             .applyInPandas(collect_pos, out_schema)
         )
