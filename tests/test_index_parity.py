@@ -317,3 +317,27 @@ def test_crash_windows_in_stage_commit(spark, tmp_path):
         for r in IndexReader(spark, d).search("keta gera the", k=10).collect()
     ]
     assert got == want and got
+
+
+def test_webtext_arrow_generation_matches_per_doc_generator(spark):
+    """Round 6: webtext_df moved from mapInPandas to mapInArrow with
+    column-wise batch construction. The table must stay BIT-IDENTICAL to
+    the per-doc counter-based generator regardless of partitioning."""
+    import datetime as dt
+
+    from aether_elasticsearch_consumer_spark.fixtures.webtext import (
+        _zipf_cdf,
+        gen_doc,
+        vocab,
+        webtext_df,
+    )
+
+    rows = webtext_df(spark, 300, partitions=5).orderBy("url").collect()
+    voc, cdf = vocab(), _zipf_cdf()
+    exp = sorted((gen_doc(i, voc, cdf) for i in range(300)), key=lambda r: r[0])
+    assert len(rows) == 300
+    for r, e in zip(rows, exp):
+        assert (r["url"], bytes(r["html"]), r["text"], r["lang"]) == (
+            e[0], e[2], e[3], e[4],
+        )
+        assert r["warc_ts"].replace(tzinfo=dt.timezone.utc) == e[1]
