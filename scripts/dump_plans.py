@@ -42,7 +42,13 @@ def main() -> None:
     suffix = sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     out_dir.mkdir(parents=True, exist_ok=True)
-    DataFrame.localCheckpoint = lambda self, eager=True: self  # lineage visible
+    # lineage visible: patch the CONCRETE class — in Spark 4 the
+    # ``pyspark.sql.DataFrame`` name is not the classic implementation
+    # class, whose own method definition wins in the MRO
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    _ClassicDF.localCheckpoint = lambda self, eager=True: self
+    DataFrame.localCheckpoint = lambda self, eager=True: self
     spark = get_spark("dump-plans")
     qs = registry.queries()
     for name in ENTRIES:

@@ -464,3 +464,31 @@ def test_slop_and_prefix_random_adversarial(spark, tmp_path_factory):
             if (f := py_slots(toks, [[head], exp], slop)) > 0
         }
         assert got == want, (head, pfx, slop)
+
+
+def test_phrase_scores_fast_path_matches_join_path(pos_index):
+    """Round-6 latency fast path: phrase_scores with the broadcast
+    doclens sidecar (checkpoint-once + literal df + blob doc_len) must
+    return byte-identical (doc_id, score) rows to the lazy
+    join+crossJoin form, and its plan must carry no join."""
+    reader, docs = pos_index
+    toks0 = tokenize_py(docs[0][1])
+    phrase = " ".join(toks0[3:5])
+
+    fast = reader.phrase_scores(phrase)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    # force the fallback (sidecar "too big"), same values expected
+    saved = reader._sidecar_cache
+    try:
+        reader._sidecar_cache = (None,)
+        slow = reader.phrase_scores(phrase)
+        slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in slow_plan  # it really took the other path
+        got = sorted(fast.collect())
+        want = sorted(slow.collect())
+    finally:
+        reader._sidecar_cache = saved
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0, "fixture bigram never matched — weak test"
