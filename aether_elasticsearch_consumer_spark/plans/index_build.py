@@ -67,6 +67,11 @@ _FORCE_RANGE_EXCHANGE = False
 # (tests/test_assembly_edges.py); never set in production code
 _FORCE_TOKEN_LEVEL = False
 
+# A/B toggle for the round-6 blob-group shuffle: True forces the
+# (doc, term, tf) row pre-aggregation shape so all three postings
+# pipelines can be byte-compared in one session; never set in production
+_FORCE_ROW_PREAGG = False
+
 # one row per 128-posting block, fully flat — rows build from numpy arrays
 # with zero per-row Python objects, and the query side reads plain columns
 POSTINGS_SCHEMA = T.StructType(
@@ -191,6 +196,138 @@ def make_token_pairs_arrow(profile: str = "ascii"):
     return gen
 
 
+POSTING_GROUPS_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("packeds", T.BinaryType(), False),
+        T.StructField("tfs_blob", T.BinaryType(), False),
+    ]
+)
+
+
+def make_posting_group_blobs_arrow(profile: str = "ascii", dps: int = 8192):
+    """``(packed, text)`` batches → ONE row per (segment, term) per batch:
+    ``(segment_id, term, packeds, tfs_blob)`` where the blobs are the
+    group's per-posting packed int64s / tf int32s as raw little-endian
+    bytes.
+
+    Round-6 shuffle-row collapse (guide §2.3, §4.2): the postings
+    exchange carried one row per (doc, term) posting — 60M rows on the
+    400k-doc bench corpus — and the reduce stage's dominant cost was the
+    JVM row↔Arrow conversion of those rows (~390 of 422 core-s), not the
+    numpy assembly. Grouping map-side by (segment, term) cuts the row
+    count ~25× (bounded by vocab × segments per batch) and turns the
+    payload into opaque byte blobs the JVM moves with bulk copies; the
+    assembler explodes them with ``np.frombuffer`` + ``np.repeat``.
+    Output blocks are byte-identical (pinned in
+    tests/test_assembly_edges.py): the assembler's lexsort is a total
+    order over unique (term, doc) pairs, so arrival granularity cannot
+    change any output row, and the writer's partition sort fixes file
+    order. Same-machine bytes → ``np.frombuffer`` round-trips exactly;
+    both ends of a shuffle share endianness by construction."""
+    from ..functions.tokenizer import tokenize_py
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            packed = batch.column("packed").to_numpy(zero_copy_only=False)
+            toks = [
+                tokenize_py(t, profile)
+                for t in batch.column("text").to_pylist()
+            ]
+            lens = np.fromiter(
+                (len(t) for t in toks), dtype=np.int64, count=n
+            )
+            total = int(lens.sum())
+            if not total:
+                continue
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for t in toks:
+                flat[off : off + len(t)] = t
+                off += len(t)
+            codes, uniq = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((codes, doc_idx))
+            c, d = codes[order], doc_idx[order]
+            starts = np.empty(len(c), dtype=bool)
+            starts[0] = True
+            np.not_equal(c[1:], c[:-1], out=starts[1:])
+            starts[1:] |= d[1:] != d[:-1]
+            s_idx = np.flatnonzero(starts)
+            tf = np.diff(np.append(s_idx, len(c))).astype(np.int32)
+            # posting-level arrays → group by (segment, term)
+            p_packed = packed[d[s_idx]].astype(np.int64)
+            p_code = c[s_idx]
+            p_seg = (p_packed >> DL_BITS) // dps
+            g_order = np.lexsort((p_code, p_seg))
+            gp = p_packed[g_order]
+            gc = p_code[g_order]
+            gt = tf[g_order]
+            gs = p_seg[g_order]
+            gstart = np.empty(len(gc), dtype=bool)
+            gstart[0] = True
+            np.not_equal(gc[1:], gc[:-1], out=gstart[1:])
+            gstart[1:] |= gs[1:] != gs[:-1]
+            gidx = np.flatnonzero(gstart)
+            counts = np.diff(np.append(gidx, len(gc)))
+            off8 = np.zeros(len(gidx) + 1, dtype=np.int64)
+            np.cumsum(counts * 8, out=off8[1:])
+            off4 = np.zeros(len(gidx) + 1, dtype=np.int64)
+            np.cumsum(counts * 4, out=off4[1:])
+            yield pa.record_batch(
+                {
+                    "segment_id": pa.array(gs[gidx], pa.int64()),
+                    "term": pa.array(uniq[gc[gidx]], pa.string()),
+                    "packeds": _contiguous_binary(gp.tobytes(), off8),
+                    "tfs_blob": _contiguous_binary(gt.tobytes(), off4),
+                }
+            )
+
+    return gen
+
+
+def _blob_concat(arr: "pa.Array", dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a single-chunk pa binary column's values into one numpy
+    array of ``dtype`` plus per-row element counts — buffer math, no
+    per-row python objects."""
+    nbytes = np.dtype(dtype).itemsize
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    vals = np.ascontiguousarray(data[off[0] : off[-1]]).view(dtype)
+    counts = (np.diff(off) // nbytes).astype(np.int64)
+    return vals, counts
+
+
+def _explode_blob_table(
+    tbl: "pa.Table",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Blob-group shuffle rows → posting-level numpy arrays
+    (codes, dict_strs, term_buckets, packed, tfs) for the assembler."""
+    enc = pc.dictionary_encode(tbl["term"].combine_chunks())
+    codes_row = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
+    tbs_row = (
+        tbl["term_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    packed_all, counts = _blob_concat(
+        tbl["packeds"].combine_chunks(), np.int64
+    )
+    tf_all, _ = _blob_concat(tbl["tfs_blob"].combine_chunks(), np.int32)
+    return (
+        np.repeat(codes_row, counts),
+        dict_strs,
+        np.repeat(tbs_row, counts),
+        packed_all.astype(np.int64),
+        tf_all.astype(np.int64),
+    )
+
+
 def _contiguous_binary(buf, off: np.ndarray) -> "pa.Array":
     """Binary array whose values are contiguous slices of ``buf`` at the
     int64 ``off`` byte boundaries (len n+1) — built zero-copy from an
@@ -213,6 +350,7 @@ def _assemble_postings_arrow(
     tbl: "pa.Table", avgdl: float, dps: int,
     code_dict: tuple[np.ndarray, np.ndarray] | None = None,
     term_buckets: int | None = None,
+    pre: tuple[np.ndarray, ...] | None = None,
 ) -> "pa.Table":
     """A shuffle partition of **token-level** rows → one output row per
     128-posting block. The partition may span MANY (segment, term_bucket)
@@ -235,32 +373,39 @@ def _assemble_postings_arrow(
     never moves strings; bucket = code mod term_buckets), and per-block
     term strings resolve at the end via one vectorized searchsorted
     against the broadcast dictionary."""
-    if code_dict is None:
-        enc = pc.dictionary_encode(tbl["term"].combine_chunks())
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
-        tbs = tbl["term_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if pre is not None:
+        # blob-group mode (round 6): posting-level arrays already exploded
+        # from the (segment, term, packeds, tfs_blob) shuffle rows — see
+        # make_posting_group_blobs_arrow / _explode_blob_table
+        codes, dict_strs, tbs, packed, tf_in = pre
+        pos_all = None
     else:
-        codes = tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tbs = None
-        dict_strs = None
-    packed = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if code_dict is None:
+            enc = pc.dictionary_encode(tbl["term"].combine_chunks())
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dict_strs = enc.dictionary.to_numpy(zero_copy_only=False)
+            tbs = tbl["term_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            codes = tbl["code"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tbs = None
+            dict_strs = None
+        packed = tbl["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_all = (
+            tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if "pos" in tbl.schema.names
+            else None
+        )
+        # tf-preagg mode (round 6): rows arrive as (doc, term, tf) POSTINGS
+        # (map-side run-length, see doc_term_tf_pairs) — no reduce-side tf
+        # counting, 0.58× the rows through the sort. Mutually exclusive with
+        # positions (those need the token-level stream).
+        tf_in = (
+            tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if "tf" in tbl.schema.names
+            else None
+        )
     doc_ids_all = packed >> DL_BITS
     dls_all = packed & DL_MASK
-    pos_all = (
-        tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if "pos" in tbl.schema.names
-        else None
-    )
-    # tf-preagg mode (round 6): rows arrive as (doc, term, tf) POSTINGS
-    # (map-side run-length, see doc_term_tf_pairs) — no reduce-side tf
-    # counting, 0.58× the rows through the sort. Mutually exclusive with
-    # positions (those need the token-level stream).
-    tf_in = (
-        tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if "tf" in tbl.schema.names
-        else None
-    )
 
     if pos_all is None:
         order = np.lexsort((doc_ids_all, codes))
@@ -623,6 +768,7 @@ class IndexBuilder:
 
             # token stream: positions ride along as ONE extra int column
             # only when the index stores them
+            blob_mode = False
             if self.with_positions:
                 # phrase keys pack (doc_id << DL_BITS | pos): a position at
                 # or past 2^DL_BITS would carry into the doc_id field and
@@ -651,18 +797,33 @@ class IndexBuilder:
                     F.explode(tokenize_col("text", self.profile)).alias("term"),
                 )
                 pos_cols = []
-            else:
+            elif self.term_coding == "dict" or _FORCE_ROW_PREAGG:
                 # map-side tf run-length (make_token_pairs_arrow): the
                 # wide shuffle carries one row per (doc, term) with its
                 # tf — 0.58× the rows of the token-instance stream;
                 # output blocks are byte-identical (pinned in
                 # tests/test_assembly_edges.py). Explicit 2-column select
                 # before the opaque Arrow stage keeps the scan pruned
-                # (guide §4.1).
+                # (guide §4.1). Dict coding keeps this shape — its
+                # broadcast code join needs per-posting term rows.
                 exploded = docs.select(packed_col, "text").mapInArrow(
                     make_token_pairs_arrow(self.profile), TOKEN_PAIRS_SCHEMA
                 )
                 pos_cols = ["tf"]
+            else:
+                # default strings mode (round 6, second pass): one blob
+                # row per (segment, term) per map batch — ~25× fewer
+                # shuffle rows than (doc, term, tf) and the payload moves
+                # as opaque bytes, so the reduce stage's JVM row↔Arrow
+                # conversion (its dominant cost) collapses; see
+                # make_posting_group_blobs_arrow. Byte-identical output
+                # pinned in tests/test_assembly_edges.py.
+                blob_mode = True
+                exploded = docs.select(packed_col, "text").mapInArrow(
+                    make_posting_group_blobs_arrow(self.profile, dps),
+                    POSTING_GROUPS_SCHEMA,
+                )
+                pos_cols = []
 
             code_dict = None
             if self.term_coding == "dict":
@@ -724,14 +885,26 @@ class IndexBuilder:
                         tbl, avgdl, dps, code_dict=bc.value, term_buckets=B
                     )
             else:
+                # term_bucket stays a JVM codegen expression either way —
+                # in blob mode it evaluates over the ~25×-smaller group
+                # rows instead of per posting
                 tokens = exploded.withColumn(
                     "term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(B)).cast("int"),
                 )
                 bucket_expr = F.col("term_bucket")
 
-                def assemble_tbl(tbl: pa.Table) -> pa.Table:
-                    return _assemble_postings_arrow(tbl, avgdl, dps)
+                if blob_mode:
+
+                    def assemble_tbl(tbl: pa.Table) -> pa.Table:
+                        return _assemble_postings_arrow(
+                            None, avgdl, dps, pre=_explode_blob_table(tbl)
+                        )
+
+                else:
+
+                    def assemble_tbl(tbl: pa.Table) -> pa.Table:
+                        return _assemble_postings_arrow(tbl, avgdl, dps)
 
             def assemble_partition(batches):
                 bl = list(batches)
@@ -757,8 +930,16 @@ class IndexBuilder:
                 3 * self.spark.sparkContext.defaultParallelism,
                 -(-total_tokens // 2_000_000),
             )
+            # identical exchange either way: the hash keys are the same
+            # (segment_id long, term_bucket int) VALUES whether computed
+            # per posting row (seg_key over packed) or carried on the
+            # blob-group rows, so (segment, bucket) → partition assignment
+            # — and therefore the output file set — is unchanged
+            part_seg = (
+                F.col("segment_id").cast("long") if blob_mode else seg_key
+            )
             (
-                tokens.repartition(n_parts, seg_key, bucket_expr)
+                tokens.repartition(n_parts, part_seg, bucket_expr)
                 .mapInArrow(assemble_partition, POSTINGS_SCHEMA)
                 # leading term_bucket: output ordering starts with the
                 # partition column, so FileFormatWriter reuses this sort

@@ -68,10 +68,11 @@ def test_delta_restart_per_block():
 
 
 def test_tf_preagg_build_is_byte_identical(spark, tmp_path_factory):
-    """Round 6: the map-side tf pre-aggregation (make_token_pairs_arrow —
-    the wide shuffle carries (doc, term, tf) postings instead of token
-    instances) must produce byte-identical postings/doclens/term_stats to
-    the token-level path."""
+    """Round 6: all three postings pipelines — token-instance rows,
+    map-side tf pre-aggregated (doc, term, tf) rows
+    (make_token_pairs_arrow), and blob-group rows
+    (make_posting_group_blobs_arrow, the default) — must produce
+    byte-identical postings/term_stats."""
     from aether_elasticsearch_consumer_spark.fixtures.webtext import webtext_df
     import aether_elasticsearch_consumer_spark.plans.index_build as ib
 
@@ -79,18 +80,24 @@ def test_tf_preagg_build_is_byte_identical(spark, tmp_path_factory):
     src = webtext_df(spark, 800, partitions=4)
     src.write.mode("overwrite").parquet(str(root / "src"))
     src = spark.read.parquet(str(root / "src"))
-    old_flag = ib._FORCE_TOKEN_LEVEL
+    old_token, old_row = ib._FORCE_TOKEN_LEVEL, ib._FORCE_ROW_PREAGG
     try:
         ib._FORCE_TOKEN_LEVEL = True
         ib.IndexBuilder(
             spark, str(root / "old"), docs_per_segment=256, term_buckets=8
         ).build(src, fingerprint_extra="old")
         ib._FORCE_TOKEN_LEVEL = False
+        ib._FORCE_ROW_PREAGG = True
+        ib.IndexBuilder(
+            spark, str(root / "rows"), docs_per_segment=256, term_buckets=8
+        ).build(src, fingerprint_extra="rows")
+        ib._FORCE_ROW_PREAGG = False
         ib.IndexBuilder(
             spark, str(root / "new"), docs_per_segment=256, term_buckets=8
         ).build(src, fingerprint_extra="new")
     finally:
-        ib._FORCE_TOKEN_LEVEL = old_flag
+        ib._FORCE_TOKEN_LEVEL = old_token
+        ib._FORCE_ROW_PREAGG = old_row
     for part in ("postings", "term_stats"):
         key = ["term_bucket", "term", "segment_id", "block_no"]
         if part == "term_stats":
@@ -100,11 +107,17 @@ def test_tf_preagg_build_is_byte_identical(spark, tmp_path_factory):
             .orderBy(*key)
             .collect()
         )
+        r = (
+            spark.read.parquet(str(root / f"rows/{part}/data"))
+            .orderBy(*key)
+            .collect()
+        )
         b = (
             spark.read.parquet(str(root / f"new/{part}/data"))
             .orderBy(*key)
             .collect()
         )
+        assert len(a) == len(r) and a == r, part
         assert len(a) == len(b) and a == b, part
 
 
